@@ -1,0 +1,198 @@
+"""NN primitives: MLP and RNN cells (reference: sqair/neural.py + sonnet).
+
+Cells follow a uniform interface:
+  ``cell(state, x) -> (new_state, output)`` with ``state`` a tuple of arrays
+  (VanillaRNN/GRU: ``(h,)``; LSTM: ``(c, h)``).  ``state[-1]`` is the
+  "feature" half used wherever the reference reads
+  ``nest.flatten(state)[-1]`` (e.g. sqair/core.py:284).
+
+``initial_state(batch_size)`` returns a trainable initial state, matching
+``cell.initial_state(batch_size, trainable=True)`` in the reference.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+State = Tuple[jnp.ndarray, ...]
+
+
+def const_init(value):
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.full(shape, value, dtype)
+
+    return init
+
+
+class MLP(nn.Module):
+    """Elu MLP with optional linear output head.
+
+    Reference: sqair/neural.py:111-116 (MLP of `Nonlinear` layers).
+    ``n_hiddens`` may be arbitrarily nested (the reference configs pass
+    1-tuples of lists due to trailing commas; nest.flatten tolerates it).
+    """
+
+    n_hiddens: Any
+    n_out: Optional[int] = None
+    hidden_transfer: Callable = nn.elu
+    transfer: Optional[Callable] = None
+    output_bias_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        flat_hiddens = jax.tree_util.tree_leaves(self.n_hiddens)
+        for h in flat_hiddens:
+            x = self.hidden_transfer(nn.Dense(int(h))(x))
+        if self.n_out is not None:
+            bias_init = self.output_bias_init or nn.initializers.zeros_init()
+            x = nn.Dense(self.n_out, bias_init=bias_init)(x)
+            if self.transfer is not None:
+                x = self.transfer(x)
+        return x
+
+
+class Encoder(nn.Module):
+    """Flatten + MLP (reference: sqair/modules.py:100-112)."""
+
+    n_hiddens: Any
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.reshape(x.shape[: x.ndim - 2] + (-1,)) if x.ndim >= 2 else x
+        # flatten everything after the batch dim
+        x = x.reshape((x.shape[0], -1)) if x.ndim > 2 else x
+        return MLP(self.n_hiddens)(x)
+
+
+class Decoder(nn.Module):
+    """MLP decoder reshaped to a feature map and scaled by a learned scalar.
+
+    Reference: sqair/modules.py:131-147.
+    """
+
+    n_hiddens: Any
+    output_size: Sequence[int]
+    output_scale: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        import numpy as np
+
+        n = int(np.prod(self.output_size))
+        out = MLP(self.n_hiddens, n_out=n)(x)
+        out = out.reshape(out.shape[:-1] + tuple(self.output_size))
+        scale = self.param("output_scale", const_init(self.output_scale), ())
+        return out * scale
+
+
+class VanillaRNN(nn.Module):
+    """h' = tanh(W x + U h + b) (sonnet snt.VanillaRNN)."""
+
+    units: int
+
+    def setup(self):
+        self._in = nn.Dense(self.units, name="in_to_hidden")
+        self._hid = nn.Dense(self.units, use_bias=False, name="hidden_to_hidden")
+
+    def __call__(self, state: State, x) -> Tuple[State, jnp.ndarray]:
+        (h,) = state
+        new_h = jnp.tanh(self._in(x) + self._hid(h))
+        return (new_h,), new_h
+
+    def initial_state(self, batch_size: int, trainable: bool = True) -> State:
+        h0 = self.param("h0", nn.initializers.zeros_init(), (1, self.units))
+        if not trainable:
+            h0 = jax.lax.stop_gradient(h0)
+        return (jnp.tile(h0, (batch_size, 1)),)
+
+    @property
+    def state_size(self):
+        return (self.units,)
+
+    @property
+    def output_size(self):
+        return self.units
+
+
+class GRU(nn.Module):
+    """Standard GRU (sonnet snt.GRU)."""
+
+    units: int
+
+    def setup(self):
+        self._gates = nn.Dense(2 * self.units, name="gates")
+        self._cand_x = nn.Dense(self.units, name="candidate_x")
+        self._cand_h = nn.Dense(self.units, use_bias=False, name="candidate_h")
+
+    def __call__(self, state: State, x) -> Tuple[State, jnp.ndarray]:
+        (h,) = state
+        zr = jax.nn.sigmoid(self._gates(jnp.concatenate([x, h], -1)))
+        z, r = jnp.split(zr, 2, -1)
+        cand = jnp.tanh(self._cand_x(x) + self._cand_h(r * h))
+        new_h = (1.0 - z) * h + z * cand
+        return (new_h,), new_h
+
+    def initial_state(self, batch_size: int, trainable: bool = True) -> State:
+        h0 = self.param("h0", nn.initializers.zeros_init(), (1, self.units))
+        if not trainable:
+            h0 = jax.lax.stop_gradient(h0)
+        return (jnp.tile(h0, (batch_size, 1)),)
+
+    @property
+    def state_size(self):
+        return (self.units,)
+
+    @property
+    def output_size(self):
+        return self.units
+
+
+class LSTM(nn.Module):
+    """Standard LSTM with state (c, h)."""
+
+    units: int
+
+    def setup(self):
+        self._ifgo = nn.Dense(4 * self.units, name="ifgo")
+
+    def __call__(self, state: State, x) -> Tuple[State, jnp.ndarray]:
+        c, h = state
+        ifgo = self._ifgo(jnp.concatenate([x, h], -1))
+        i, f, g, o = jnp.split(ifgo, 4, -1)
+        new_c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+        return (new_c, new_h), new_h
+
+    def initial_state(self, batch_size: int, trainable: bool = True) -> State:
+        c0 = self.param("c0", nn.initializers.zeros_init(), (1, self.units))
+        h0 = self.param("h0", nn.initializers.zeros_init(), (1, self.units))
+        if not trainable:
+            c0, h0 = jax.lax.stop_gradient((c0, h0))
+        return (jnp.tile(c0, (batch_size, 1)), jnp.tile(h0, (batch_size, 1)))
+
+    @property
+    def state_size(self):
+        return (self.units, self.units)
+
+    @property
+    def output_size(self):
+        return self.units
+
+
+RNN_CELLS = {"VanillaRNN": VanillaRNN, "GRU": GRU, "LSTM": LSTM}
+
+
+def make_cell(name: str, units: int, **kwargs) -> nn.Module:
+    """Cell factory mirroring ``maybe_getattr(snt, flag)`` in the config
+    (sqair/configs/mlp_mnist_model.py:86-87)."""
+    if name not in RNN_CELLS:
+        raise ValueError(f"Unknown RNN cell '{name}'. Choose from {sorted(RNN_CELLS)}")
+    return RNN_CELLS[name](units, **kwargs)
+
+
+def state_feature(state: State) -> jnp.ndarray:
+    """The reference's ``nest.flatten(state)[-1]`` (h for LSTM)."""
+    return state[-1]

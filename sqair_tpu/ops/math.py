@@ -1,0 +1,46 @@
+"""Misc math ops (reference: sqair/ops.py).
+
+All functions are jit-able and shape-polymorphic over leading batch dims.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def clip_preserve(expr: jnp.ndarray, lo, hi) -> jnp.ndarray:
+    """Clips the value but preserves the (unclipped) gradient.
+
+    Equivalent of the reference's straight-through clip
+    (sqair/ops.py:33-42): ``stop_gradient(clip(x) - x) + x``.
+    """
+    clipped = jnp.clip(expr, lo, hi)
+    return jax.lax.stop_gradient(clipped - expr) + expr
+
+
+def ess(weights: jnp.ndarray, average: bool = False) -> jnp.ndarray:
+    """Effective sample size of normalised importance weights.
+
+    Reference: sqair/ops.py:52-59.  ``weights`` has particles on the last
+    axis; returns ``(sum w)^2 / sum w^2`` per row.
+    """
+    res = jnp.sum(weights, -1) ** 2 / jnp.sum(weights**2, -1)
+    if average:
+        res = jnp.mean(res)
+    return res
+
+
+def maybe_concat(tensors, axis: int = -1) -> jnp.ndarray:
+    """Concatenates a (possibly nested) list of tensors along ``axis``.
+
+    Reference: sqair/ops.py:75-82.
+    """
+    flat = jax.tree_util.tree_leaves(tensors)
+    if len(flat) > 1:
+        return jnp.concatenate(flat, axis)
+    return flat[0]
+
+
+def flatten_left(x: jnp.ndarray, n_dims: int) -> jnp.ndarray:
+    """Merges the leading ``n_dims`` dims into one (snt.BatchApply-style)."""
+    return x.reshape((-1,) + x.shape[n_dims:])
