@@ -96,6 +96,7 @@ class VanillaRNN(nn.Module):
     def setup(self):
         self._in = nn.Dense(self.units, name="in_to_hidden")
         self._hid = nn.Dense(self.units, use_bias=False, name="hidden_to_hidden")
+        self._h0 = self.param("h0", nn.initializers.zeros_init(), (1, self.units))
 
     def __call__(self, state: State, x) -> Tuple[State, jnp.ndarray]:
         (h,) = state
@@ -103,9 +104,7 @@ class VanillaRNN(nn.Module):
         return (new_h,), new_h
 
     def initial_state(self, batch_size: int, trainable: bool = True) -> State:
-        h0 = self.param("h0", nn.initializers.zeros_init(), (1, self.units))
-        if not trainable:
-            h0 = jax.lax.stop_gradient(h0)
+        h0 = self._h0 if trainable else jax.lax.stop_gradient(self._h0)
         return (jnp.tile(h0, (batch_size, 1)),)
 
     @property
@@ -126,6 +125,7 @@ class GRU(nn.Module):
         self._gates = nn.Dense(2 * self.units, name="gates")
         self._cand_x = nn.Dense(self.units, name="candidate_x")
         self._cand_h = nn.Dense(self.units, use_bias=False, name="candidate_h")
+        self._h0 = self.param("h0", nn.initializers.zeros_init(), (1, self.units))
 
     def __call__(self, state: State, x) -> Tuple[State, jnp.ndarray]:
         (h,) = state
@@ -136,9 +136,7 @@ class GRU(nn.Module):
         return (new_h,), new_h
 
     def initial_state(self, batch_size: int, trainable: bool = True) -> State:
-        h0 = self.param("h0", nn.initializers.zeros_init(), (1, self.units))
-        if not trainable:
-            h0 = jax.lax.stop_gradient(h0)
+        h0 = self._h0 if trainable else jax.lax.stop_gradient(self._h0)
         return (jnp.tile(h0, (batch_size, 1)),)
 
     @property
@@ -157,6 +155,8 @@ class LSTM(nn.Module):
 
     def setup(self):
         self._ifgo = nn.Dense(4 * self.units, name="ifgo")
+        self._c0 = self.param("c0", nn.initializers.zeros_init(), (1, self.units))
+        self._h0 = self.param("h0", nn.initializers.zeros_init(), (1, self.units))
 
     def __call__(self, state: State, x) -> Tuple[State, jnp.ndarray]:
         c, h = state
@@ -167,8 +167,7 @@ class LSTM(nn.Module):
         return (new_c, new_h), new_h
 
     def initial_state(self, batch_size: int, trainable: bool = True) -> State:
-        c0 = self.param("c0", nn.initializers.zeros_init(), (1, self.units))
-        h0 = self.param("h0", nn.initializers.zeros_init(), (1, self.units))
+        c0, h0 = self._c0, self._h0
         if not trainable:
             c0, h0 = jax.lax.stop_gradient((c0, h0))
         return (jnp.tile(c0, (batch_size, 1)), jnp.tile(h0, (batch_size, 1)))
