@@ -1,0 +1,227 @@
+"""Discovery module (reference: sqair/sqair_modules.py:66-229)."""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.layers import MLP
+from ..nn.stochastic import RecurrentNormalImpl
+from ..ops import distributions as D
+from .core import HIDDEN_OUTPUT_FIELDS, DiscoveryCore
+
+
+class Discover(nn.Module):
+    """Discovers up to n_steps new objects in a frame.
+
+    Note on the discovery budget: the reference computes a per-slot
+    ``is_allowed`` input from ``max_disc_steps`` but the cell destructures
+    and never reads it (core.py:192-193); the budget is *soft* — enforced
+    only through the learned step priors and the present-first truncation.
+    We reproduce exactly that (and expose max_disc_steps for parity).
+    """
+
+    n_steps: int
+    cell: DiscoveryCore
+    step_success_prob: float = 0.75
+    where_mean: Sequence[float] = (-2.0, -2.0, 0.0, 0.0)
+    where_std: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
+    disc_prior_type: str = "geom"
+    rec_where_prior: bool = False
+
+    def setup(self):
+        if self.rec_where_prior:
+            bias = list(self.where_mean) + list(self.where_std)
+
+            def bias_init(key, shape, dtype=jnp.float32):
+                return jnp.asarray(bias, dtype)
+
+            self._where_prior = RecurrentNormalImpl(
+                4, 128, conditional=True, output_bias_init=bias_init
+            )
+        else:
+            self._where_prior = None
+
+        if self.disc_prior_type == "cat":
+            self._step_logits = self.param(
+                "step_prior_bias", nn.initializers.zeros_init(), (self.n_steps + 1,)
+            )
+            init = jnp.asarray([10.0] + [0.0] * self.n_steps)
+            self._timestep_bias = self.param(
+                "step_prior_timestep_bias", lambda k, s: init, (self.n_steps + 1,)
+            )
+            self._step_cond_mlp = MLP([10], n_out=self.n_steps + 1)
+        elif self.disc_prior_type != "geom":
+            raise ValueError(f"Invalid prior type: {self.disc_prior_type}")
+
+    @property
+    def n_what(self):
+        return self.cell.n_what
+
+    def initial_z(self, batch_size):
+        """Zeroed (what, where, presence, presence_logit), each [B, S, d]."""
+        S = self.n_steps
+        return (
+            jnp.zeros((batch_size, S, self.cell.n_what)),
+            jnp.zeros((batch_size, S, 4)),
+            jnp.zeros((batch_size, S, 1)),
+            jnp.zeros((batch_size, S, 1)),
+        )
+
+    def __call__(self, rng, img, n_present_obj, conditioning_from_prop=None,
+                 time_step=0, prior_conditioning=None, sample_from_prior=False,
+                 do_generate=None) -> Dict:
+        """Runs discovery for one frame (sqair_modules.py:94-125).
+
+        :param img: [B, H, W]
+        :param n_present_obj: [B] number of propagated objects
+        :param conditioning_from_prop: [B, d] DeepSet summary of propagation
+        :param time_step: scalar (may be traced)
+        :param prior_conditioning: [B, m] extra prior conditioning
+        :param sample_from_prior: static python bool
+        :param do_generate: traced bool (or None); only used when
+            sample_from_prior is True
+        """
+        batch_size = img.shape[0]
+        max_disc_steps = self.n_steps - n_present_obj
+
+        if conditioning_from_prop is None:
+            conditioning_from_prop = jnp.zeros((batch_size, 1))
+        if prior_conditioning is None:
+            prior_conditioning = jnp.zeros((batch_size, 0))
+
+        rng, sub = jax.random.split(rng)
+        hidden_outputs, num_steps = self._discover(sub, img, conditioning_from_prop)
+        # NB: as in the reference, num_steps and the log-probs below use the
+        # posterior presence even when do_generate later overrides samples
+        hidden_outputs, log_probs = self._compute_log_probs(
+            rng, hidden_outputs, num_steps, time_step, conditioning_from_prop,
+            prior_conditioning, sample_from_prior, do_generate,
+        )
+
+        outputs = dict(hidden_outputs=hidden_outputs, num_steps=num_steps,
+                       max_disc_steps=max_disc_steps)
+        outputs.update(hidden_outputs)
+        outputs.update(log_probs)
+        return outputs
+
+    def _discover(self, rng, img, conditioning):
+        """Unrolls the discovery core over object slots (_discover,
+        sqair_modules.py:127-147).  S <= 4, so a python unroll."""
+        encoded_img = self.cell.encode_img(img)
+        state = self.cell.initial_state(img, encoded_img)
+
+        per_slot = []
+        for t in range(self.n_steps):
+            step_rng = jax.random.fold_in(rng, t)
+            outputs, state = self.cell(step_rng, state, conditioning)
+            per_slot.append(outputs)
+
+        # stack [B, S, d]
+        hidden_outputs = {
+            k: jnp.stack([o[k] for o in per_slot], 1) for k in HIDDEN_OUTPUT_FIELDS
+        }
+        num_steps = jnp.sum(hidden_outputs["presence"][..., 0], -1)
+        return hidden_outputs, num_steps
+
+    def _make_steps_prior(self, time_step, prior_conditioning):
+        """Geometric or learned-categorical #steps prior
+        (sqair_modules.py:199-226)."""
+        if self.disc_prior_type == "geom":
+            return D.Geometric(probs=jnp.asarray(1.0 - self.step_success_prob))
+
+        is_first = jnp.asarray(time_step == 0, jnp.float32)
+        step_logits = self._step_logits + (1.0 - is_first) * self._timestep_bias
+        if prior_conditioning.shape[-1] > 0:
+            step_logits = step_logits[None] + self._step_cond_mlp(prior_conditioning)
+        else:
+            step_logits = jnp.broadcast_to(
+                step_logits[None], (prior_conditioning.shape[0], self.n_steps + 1)
+            )
+        step_logits = jax.nn.elu(step_logits)
+        return D.Categorical(logits=step_logits)
+
+    def _where_prior_log_prob(self, rng, where, conditioning):
+        if self.rec_where_prior:
+            _, _, _, lp = self._where_prior(
+                rng, batch_size=where.shape[0], override_samples=where,
+                conditioning=conditioning,
+            )
+            return lp
+        mean = jnp.asarray(self.where_mean)
+        std = jnp.asarray(self.where_std)
+        return D.Normal(mean, std).log_prob(where)
+
+    def _where_prior_sample(self, rng, batch_size, conditioning):
+        if self.rec_where_prior:
+            samples, _, _, _ = self._where_prior(
+                rng, batch_size=batch_size, seq_len=self.n_steps,
+                conditioning=conditioning,
+            )
+            return samples
+        mean = jnp.asarray(self.where_mean)
+        std = jnp.asarray(self.where_std)
+        return D.Normal(mean, std).sample(rng, (batch_size, self.n_steps))
+
+    def _compute_log_probs(self, rng, hidden_outputs, num_steps, time_step,
+                           conditioning_from_prop, prior_conditioning,
+                           sample_from_prior, do_generate):
+        """(sqair_modules.py:149-197)"""
+        where_conditioning = jnp.concatenate(
+            [conditioning_from_prop, prior_conditioning], -1
+        )
+        steps_prior = self._make_steps_prior(time_step, prior_conditioning)
+        rngs = jax.random.split(rng, 4)
+
+        if sample_from_prior:
+            B, S = hidden_outputs["what"].shape[:2]
+            what_p = D.Normal(jnp.asarray(0.0), jnp.asarray(1.0)).sample(
+                rngs[0], (B, S, self.cell.n_what)
+            )
+            where_p = self._where_prior_sample(rngs[1], B, where_conditioning)
+            # discovery presence is zeroed under generation (ref: *0.)
+            pres_p = jnp.zeros((B, S, 1))
+
+            dg = jnp.asarray(0.0 if do_generate is None else do_generate, jnp.float32)
+            ndg = 1.0 - dg
+            hidden_outputs = dict(hidden_outputs)
+            hidden_outputs["what"] = dg * what_p + ndg * hidden_outputs["what"]
+            hidden_outputs["where"] = dg * where_p + ndg * hidden_outputs["where"]
+            hidden_outputs["presence"] = dg * pres_p + ndg * hidden_outputs["presence"]
+
+        presence = hidden_outputs["presence"][..., 0]  # [B, S]
+
+        # posteriors
+        what_post = D.Normal(hidden_outputs["what_loc"], hidden_outputs["what_scale"])
+        where_post = D.Normal(hidden_outputs["where_loc"], hidden_outputs["where_scale"])
+        steps_post = D.NumStepsDistribution(logits=hidden_outputs["presence_logit"][..., 0])
+
+        what_lp = jnp.sum(what_post.log_prob(hidden_outputs["what"]), -1) * presence
+        where_lp = jnp.sum(where_post.log_prob(hidden_outputs["where"]), -1) * presence
+        steps_lp = steps_post.log_prob(num_steps)
+
+        # priors
+        what_prior_lp = jnp.sum(
+            D.Normal(jnp.asarray(0.0), jnp.asarray(1.0)).log_prob(hidden_outputs["what"]),
+            -1,
+        ) * presence
+        where_prior_lp = jnp.sum(
+            self._where_prior_log_prob(rngs[2], hidden_outputs["where"], where_conditioning),
+            -1,
+        ) * presence
+        steps_prior_lp = steps_prior.log_prob(num_steps)
+
+        o = dict(
+            q_z_given_x=jnp.sum(what_lp + where_lp, -1) + steps_lp,
+            p_z=jnp.sum(what_prior_lp + where_prior_lp, -1) + steps_prior_lp,
+            what_log_prob=what_lp,
+            where_log_prob=where_lp,
+            num_step_log_prob=steps_lp,
+            what_prior_log_prob=what_prior_lp,
+            where_prior_log_prob=where_prior_lp,
+            num_step_prior_log_prob=steps_prior_lp,
+            num_steps_prob=steps_post.probs,
+        )
+        return hidden_outputs, o

@@ -1,0 +1,126 @@
+"""Model wrapper: IWAE particles, bounds, importance metrics, VIMCO target.
+
+Reference: sqair/model.py.  Functional restyling: ``Model`` holds static
+config + the sequence callable; ``loss_and_metrics(params, rng, batch)``
+computes the optimisation target and every logged quantity in one jit-able
+pass.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import indexing, math as ops_math, targets
+from .seq import SequentialAIR
+
+
+class Model:
+    """IWAE/VIMCO training wrapper around SequentialAIR."""
+
+    def __init__(self, sequence: SequentialAIR, k_particles: int = 5):
+        self.sequence = sequence
+        self.k_particles = k_particles
+
+    def init(self, rng, obs):
+        tiled = indexing.tile_input_for_iwae(obs, self.k_particles, with_time=True)
+        return self.sequence.init(rng, tiled)
+
+    def forward(self, params, rng, obs) -> Dict:
+        """Runs the sequence model on particle-tiled inputs.
+
+        :param obs: [T, B, H, W]
+        :return: outputs dict with [T, B*k, ...] leaves
+        """
+        tiled_obs = indexing.tile_input_for_iwae(obs, self.k_particles, with_time=True)
+        outputs = self.sequence(params, rng, tiled_obs)
+        outputs["tiled_obs"] = tiled_obs
+        return outputs
+
+    def loss_and_metrics(self, params, rng, obs, gt_presence=None,
+                         l2_weight: float = 0.0) -> Tuple[jnp.ndarray, Dict]:
+        """Computes the VIMCO target and the reference's metric set.
+
+        :param obs: [T, B, H, W]
+        :param gt_presence: [T, B, S+1] cumulative one-hot object counts
+        :return: (target scalar, dict of metrics + render tensors)
+        """
+        k = self.k_particles
+        T, B = obs.shape[0], obs.shape[1]
+        outputs = self.forward(params, rng, obs)
+
+        log_weights = jnp.sum(outputs["log_weights_per_timestep"], 0)  # [B*k]
+        log_weights = log_weights.reshape((B, k))
+
+        elbo_vae = jnp.mean(log_weights)
+        elbo_iwae_per_example = targets.iwae(log_weights)
+        elbo_iwae = jnp.mean(elbo_iwae_per_example)
+
+        nt = jnp.asarray(T, jnp.float32)
+        metrics = dict(
+            vae=elbo_vae,
+            iwae=elbo_iwae,
+            normalised_vae=elbo_vae / nt,
+            normalised_iwae=elbo_iwae / nt,
+        )
+
+        importance_weights = jax.lax.stop_gradient(jax.nn.softmax(log_weights, -1))
+        metrics["ess"] = ops_math.ess(importance_weights, average=True)
+
+        # importance resampling index per example (model.py:100-103)
+        rng_resample = jax.random.fold_in(rng, 0x5e5a)
+        iw_resampling_idx = jax.random.categorical(rng_resample, jnp.log(importance_weights + 1e-38), -1)
+
+        def imp_weighted_mean(tensor):
+            """(model.py:202-205)"""
+            t = tensor.reshape((-1, B, k))
+            t = jnp.mean(t, 0)
+            return jnp.mean(importance_weights * t * k)
+
+        def resample(tensor, axis=1):
+            """Per-example particle pick (model.py:170-193)."""
+            idx = iw_resampling_idx + jnp.arange(B) * k
+            return jnp.take(tensor, idx, axis=axis)
+
+        for name, key in (
+            ("data_ll", "data_ll_per_sample"),
+            ("log_p_z", "log_p_z_per_sample"),
+            ("log_q_z_given_x", "log_q_z_given_x_per_sample"),
+            ("kl", "kl_per_sample"),
+            ("num_steps", "num_steps_per_sample"),
+            ("num_disc_steps", "num_disc_steps_per_sample"),
+            ("num_prop_steps", "num_prop_steps_per_sample"),
+        ):
+            metrics[name] = imp_weighted_mean(outputs[key])
+
+        # MSE between input and canvas (model.py:112-121)
+        tiled_obs = outputs["tiled_obs"]
+        mse_per_sample = jnp.mean((tiled_obs - outputs["canvas"]) ** 2, axis=(0, 2, 3))
+        metrics["mse"] = imp_weighted_mean(mse_per_sample[None])
+        metrics["raw_mse"] = jnp.mean(mse_per_sample)
+
+        if gt_presence is not None:
+            gt_num_steps = jnp.sum(gt_presence, -1)  # [T, B]
+            num_steps = outputs["num_steps_per_sample"].reshape((-1, B, k))
+            acc = (gt_num_steps[..., None] == num_steps).astype(jnp.float32)
+            metrics["raw_num_step_accuracy"] = jnp.mean(acc)
+            metrics["num_step_accuracy"] = imp_weighted_mean(acc)
+
+        # optimisation target (model.py:150-160)
+        discrete_log_prob = jnp.sum(outputs["discrete_log_prob"], 0)
+        target = targets.vimco(log_weights, discrete_log_prob, elbo_iwae_per_example)
+        target = target / nt
+        if l2_weight:
+            target = target + targets.l2_reg(params, l2_weight)
+        metrics["target"] = target
+
+        # resampled tensors for rendering (model.py:137-148)
+        render = {}
+        for name in ("obj_id", "canvas", "glimpse", "presence_prob", "presence",
+                     "presence_logit", "where"):
+            if name in outputs:
+                render["resampled_" + name] = resample(outputs[name])
+        render["obs"] = obs
+
+        return target, dict(metrics=metrics, render=render, log_weights=log_weights)

@@ -55,15 +55,17 @@ class MLP(nn.Module):
 
 
 class Encoder(nn.Module):
-    """Flatten + MLP (reference: sqair/modules.py:100-112)."""
+    """MLP over the (pre-flattened) last axis.
+
+    Reference: sqair/modules.py:100-112 (BatchFlatten + MLP).  Callers in
+    this codebase flatten spatial dims themselves so the module works for
+    both [B, d] and [B, S, d] inputs.
+    """
 
     n_hiddens: Any
 
     @nn.compact
     def __call__(self, x):
-        x = x.reshape(x.shape[: x.ndim - 2] + (-1,)) if x.ndim >= 2 else x
-        # flatten everything after the batch dim
-        x = x.reshape((x.shape[0], -1)) if x.ndim > 2 else x
         return MLP(self.n_hiddens)(x)
 
 

@@ -1,0 +1,148 @@
+"""End-to-end shape/sanity tests for the full SQAIR model (tiny config)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sqair_tpu.models import AIRDecoder, Model, SequentialAIR, SQAIRTimestep
+
+B, T, S, H, W, GH, GW, NWHAT, NH = 2, 3, 2, 20, 20, 8, 8, 6, 16
+
+
+@pytest.fixture(scope="module")
+def built():
+    timestep = SQAIRTimestep(
+        n_steps=S, img_size=(H, W), glimpse_size=(GH, GW), n_what=NWHAT,
+        n_hidden=NH, steps_pred_hidden=[8],
+    )
+    decoder = AIRDecoder(
+        img_size=(H, W), glimpse_size=(GH, GW), glimpse_n_hiddens=[NH],
+        mean_img=np.zeros((H, W), np.float32),
+    )
+    seq = SequentialAIR(timestep, decoder)
+    rng = jax.random.PRNGKey(0)
+    obs = jax.random.uniform(jax.random.PRNGKey(1), (T, B, H, W))
+    params = seq.init(rng, obs)
+    return seq, params, obs
+
+
+class TestSequentialAIR:
+    def test_output_shapes(self, built):
+        seq, params, obs = built
+        out = seq(params, jax.random.PRNGKey(2), obs)
+
+        assert out["what"].shape == (T, B, S, NWHAT)
+        assert out["where"].shape == (T, B, S, 4)
+        assert out["presence"].shape == (T, B, S)
+        assert out["canvas"].shape == (T, B, H, W)
+        assert out["glimpse"].shape == (T, B, S, GH, GW)
+        assert out["obj_id"].shape == (T, B, S)
+        assert out["disc_prob"].shape == (T, B, S + 1)
+        assert out["prop_prob"].shape == (T, B, S)
+        assert out["log_weights_per_timestep"].shape == (T, B)
+        assert out["data_ll_per_sample"].shape == (T, B)
+        # the full 38-field record
+        assert len(out) == 38
+
+    def test_finite(self, built):
+        seq, params, obs = built
+        out = seq(params, jax.random.PRNGKey(2), obs)
+        for k, v in out.items():
+            assert np.all(np.isfinite(np.asarray(v))), f"non-finite in {k}"
+
+    def test_presence_binary_and_monotone_ids(self, built):
+        seq, params, obs = built
+        out = seq(params, jax.random.PRNGKey(2), obs)
+        pres = np.asarray(out["presence"])
+        assert set(np.unique(pres)) <= {0.0, 1.0}
+        # present objects come first in every frame (invariant of the merge)
+        for t in range(T):
+            for b in range(B):
+                p = pres[t, b]
+                assert np.all(np.diff(p) <= 0.0 + 1e-6) or p.sum() in (0, S), (
+                    f"presence not front-packed at t={t} b={b}: {p}"
+                )
+
+    def test_ids_assigned_to_present(self, built):
+        seq, params, obs = built
+        out = seq(params, jax.random.PRNGKey(2), obs)
+        ids = np.asarray(out["obj_id"])
+        pres = np.asarray(out["presence"])
+        # absent slots have id -1; present slots have ids >= 0
+        assert np.all(ids[pres == 0.0] == -1.0)
+        assert np.all(ids[pres == 1.0] >= 0.0)
+
+    def test_deterministic_given_rng(self, built):
+        seq, params, obs = built
+        o1 = seq(params, jax.random.PRNGKey(3), obs)
+        o2 = seq(params, jax.random.PRNGKey(3), obs)
+        np.testing.assert_array_equal(np.asarray(o1["canvas"]), np.asarray(o2["canvas"]))
+
+    def test_kl_identity(self, built):
+        seq, params, obs = built
+        out = seq(params, jax.random.PRNGKey(2), obs)
+        np.testing.assert_allclose(
+            np.asarray(out["kl_per_sample"]),
+            np.asarray(out["log_q_z_given_x_per_sample"] - out["log_p_z_per_sample"]),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["log_weights_per_timestep"]),
+            np.asarray(out["data_ll_per_sample"] - out["kl_per_sample"]),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_shared_encoders_single_param_copy(self, built):
+        seq, params, obs = built
+        keys = params["timestep"]["params"].keys()
+        # shared encoders live at the root, not duplicated in disc/prop cells
+        assert "_input_encoder" in keys
+        assert "_glimpse_encoder" in keys
+
+
+class TestModelWrapper:
+    @pytest.fixture(scope="class")
+    def model(self, built):
+        seq, params, obs = built
+        return Model(seq, k_particles=3), params, obs
+
+    def test_loss_and_metrics(self, model):
+        m, params, obs = model
+        gt = jnp.concatenate(
+            [jnp.ones((T, B, 1)), jnp.zeros((T, B, S))], -1
+        )  # 1 object per example
+        target, aux = m.loss_and_metrics(params, jax.random.PRNGKey(4), obs, gt)
+        assert np.isfinite(float(target))
+        metrics = aux["metrics"]
+        for k in ("vae", "iwae", "normalised_iwae", "ess", "data_ll", "kl",
+                  "mse", "raw_mse", "num_steps", "num_step_accuracy", "target"):
+            assert np.isfinite(float(metrics[k])), k
+        assert aux["log_weights"].shape == (B, 3)
+        assert 1.0 <= float(metrics["ess"]) <= 3.0 + 1e-5
+        assert aux["render"]["resampled_canvas"].shape == (T, B, H, W)
+
+    def test_iwae_geq_vae_on_average(self, model):
+        m, params, obs = model
+        _, aux = m.loss_and_metrics(params, jax.random.PRNGKey(4), obs)
+        assert float(aux["metrics"]["iwae"]) >= float(aux["metrics"]["vae"]) - 1e-4
+
+    def test_grads_flow_everywhere(self, model):
+        """Reference asserts every variable gets a gradient (model.py:163-166)."""
+        m, params, obs = model
+
+        def loss(p):
+            t, _ = m.loss_and_metrics(p, jax.random.PRNGKey(4), obs)
+            return t
+
+        grads = jax.grad(loss)(params)
+        flat = jax.tree_util.tree_leaves_with_path(grads)
+        n_nonzero = 0
+        zero_paths = []
+        for path, g in flat:
+            assert np.all(np.isfinite(np.asarray(g))), path
+            if np.any(np.asarray(g) != 0.0):
+                n_nonzero += 1
+            else:
+                zero_paths.append(jax.tree_util.keystr(path))
+        # the overwhelming majority of params must receive nonzero gradient
+        assert n_nonzero / len(flat) > 0.8, f"zero-grad params: {zero_paths}"
