@@ -1,0 +1,104 @@
+"""tf_flags-compatible flag registry over argparse.
+
+Reference: sqair/tf_flags.py (vendored TF flags) + the pokes the framework
+makes into its internals (experiment_tools.py:194-210).  Contract kept:
+
+- flags are DEFINEd at import time by whichever config modules get loaded;
+- ``parse_flags()`` can be called repeatedly as more flags appear, consuming
+  recognised ``--flag=value`` args from sys.argv and leaving the rest;
+- the parsed dict round-trips through flags.json (``restore_flags``);
+- direct attribute assignment (``F.seq_len = 2``) works for test presets.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Any, Dict, List, Optional
+
+
+class _FlagValues:
+    def __init__(self):
+        object.__setattr__(self, "_defs", {})  # name -> (type, default, help)
+        object.__setattr__(self, "_values", {})
+        object.__setattr__(self, "_parsed", False)
+
+    # -- definition ----------------------------------------------------
+    def _define(self, name: str, default, help_str: str, ftype):
+        if name in self._defs:
+            return  # repeated imports of the same config are fine
+        self._defs[name] = (ftype, default, help_str)
+        self._values.setdefault(name, default)
+
+    # -- access --------------------------------------------------------
+    def __getattr__(self, name):
+        values = object.__getattribute__(self, "_values")
+        if name in values:
+            return values[name]
+        raise AttributeError(f"Unknown flag '{name}'")
+
+    def __setattr__(self, name, value):
+        self._values[name] = value
+
+    def __contains__(self, name):
+        return name in self._values
+
+    def as_dict(self) -> Dict[str, Any]:
+        return dict(self._values)
+
+    # -- parsing -------------------------------------------------------
+    def parse(self, args: Optional[List[str]] = None) -> List[str]:
+        """Parses known flags from ``args`` (default sys.argv[1:]);
+        returns leftover args."""
+        if args is None:
+            args = sys.argv[1:]
+        parser = argparse.ArgumentParser(add_help=False, allow_abbrev=False)
+        for name, (ftype, default, help_str) in self._defs.items():
+            current = self._values.get(name, default)
+            if ftype is bool:
+                parser.add_argument(
+                    f"--{name}", nargs="?", const="true", default=None, help=help_str
+                )
+            else:
+                parser.add_argument(f"--{name}", type=ftype, default=None, help=help_str)
+        ns, leftover = parser.parse_known_args(args)
+        for name in self._defs:
+            v = getattr(ns, name, None)
+            if v is not None:
+                if self._defs[name][0] is bool and isinstance(v, str):
+                    v = v.lower() in ("true", "t", "1", "yes")
+                self._values[name] = v
+        object.__setattr__(self, "_parsed", True)
+        return leftover
+
+    def restore(self, values: Dict[str, Any]) -> None:
+        """Overwrites from a flags.json dict (experiment_tools.py:208-210)."""
+        self._values.update(values)
+        object.__setattr__(self, "_parsed", True)
+
+
+FLAGS = _FlagValues()
+
+
+def DEFINE_string(name, default, help_str=""):
+    FLAGS._define(name, default, help_str, str)
+
+
+def DEFINE_integer(name, default, help_str=""):
+    FLAGS._define(name, default, help_str, int)
+
+
+def DEFINE_float(name, default, help_str=""):
+    FLAGS._define(name, default, help_str, float)
+
+
+def DEFINE_boolean(name, default, help_str=""):
+    FLAGS._define(name, default, help_str, bool)
+
+
+DEFINE_bool = DEFINE_boolean
+
+
+def reset_for_testing():
+    """Clears the global registry (test helper only)."""
+    global FLAGS
+    FLAGS.__init__()

@@ -1,0 +1,9 @@
+from .mesh import (
+    DATA_AXIS,
+    batch_sharded,
+    make_mesh,
+    make_parallel_eval_step,
+    make_parallel_train_step,
+    replicated,
+    shard_batch,
+)

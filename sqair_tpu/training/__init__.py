@@ -1,0 +1,14 @@
+from .checkpoint import (
+    find_checkpoints,
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from .train import (
+    TrainState,
+    init_train,
+    make_eval_step,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+)

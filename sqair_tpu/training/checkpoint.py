@@ -1,0 +1,51 @@
+"""Checkpoint save/restore (reference: tf.train.Saver + run-dir protocol).
+
+Uses orbax-checkpoint; layout mirrors the reference's numbered run dirs
+(experiment_tools.py:56-132): <results_dir>/<run_name>/<n>/ckpt-<step>/.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+CKPT_PREFIX = "ckpt-"
+
+
+def save_checkpoint(run_dir: str, step: int, state: Dict[str, Any]) -> str:
+    path = os.path.abspath(os.path.join(run_dir, f"{CKPT_PREFIX}{step}"))
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, state, force=True)
+    ckpt.wait_until_finished()
+    return path
+
+
+def find_checkpoints(run_dir: str) -> Dict[int, str]:
+    """step -> path for all checkpoints in a run dir."""
+    if not os.path.isdir(run_dir):
+        return {}
+    out = {}
+    pat = re.compile(rf"^{CKPT_PREFIX}(\d+)$")
+    for name in os.listdir(run_dir):
+        m = pat.match(name)
+        if m:
+            out[int(m.group(1))] = os.path.join(run_dir, name)
+    return out
+
+
+def latest_checkpoint(run_dir: str) -> Optional[Tuple[int, str]]:
+    ckpts = find_checkpoints(run_dir)
+    if not ckpts:
+        return None
+    step = max(ckpts)
+    return step, ckpts[step]
+
+
+def restore_checkpoint(path: str, example_state: Dict[str, Any]) -> Dict[str, Any]:
+    """Restores into the structure of ``example_state``."""
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(os.path.abspath(path), target=example_state)

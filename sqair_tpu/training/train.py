@@ -1,0 +1,98 @@
+"""Optimizers, LR schedules and the jitted train step.
+
+Reference: sqair/scripts/experiment.py:126-155.  The entire train step
+(loss + grads + update) is one compiled XLA program; with a mesh it is
+additionally sharded (see parallel.mesh).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.model import Model
+
+
+def make_lr_schedule(learning_rate: float, schedule: Optional[str],
+                     train_itr: int):
+    """Piecewise-constant decay '4,6,10' -> x(1/3) at cumulative-proportion
+    boundaries (experiment.py:128-136)."""
+    if not schedule:
+        return learning_rate
+    props = [float(f) for f in schedule.split(",")]
+    cum = np.cumsum(props)
+    boundaries = np.round(cum * train_itr / cum[-1]).astype(np.int64)
+    # lr * (1/3)^k after boundary k (the last boundary is train_itr itself)
+    scales = {int(b): 1.0 / 3.0 for b in boundaries[:-1]}
+    return optax.piecewise_constant_schedule(learning_rate, scales)
+
+
+def make_optimizer(name: str, learning_rate, **kwargs) -> optax.GradientTransformation:
+    """Optimizer zoo (experiment.py:138-146).
+
+    rmsprop matches tf.train.RMSPropOptimizer defaults: decay .9,
+    momentum .9, eps 1e-10, mean-square initialised to ONES.
+    """
+    name = name.lower()
+    if name == "rmsprop":
+        return optax.rmsprop(
+            learning_rate, decay=0.9, eps=1e-10, momentum=0.9, initial_scale=1.0,
+            **kwargs,
+        )
+    if name == "adam":
+        return optax.adam(learning_rate, **kwargs)
+    if name == "sgd":
+        return optax.sgd(learning_rate, **kwargs)
+    if name == "momentum":
+        return optax.sgd(learning_rate, momentum=0.9, **kwargs)
+    raise ValueError(f"Unknown optimizer '{name}'")
+
+
+class TrainState:
+    """Minimal mutable train-state container (host side)."""
+
+    def __init__(self, params, opt_state, step: int = 0):
+        self.params = params
+        self.opt_state = opt_state
+        self.step = step
+
+    def as_dict(self):
+        return dict(params=self.params, opt_state=self.opt_state,
+                    step=jnp.asarray(self.step))
+
+
+def make_train_step(model: Model, optimizer: optax.GradientTransformation,
+                    l2_weight: float = 0.0, donate: bool = True) -> Callable:
+    """Builds the jitted (params, opt_state, rng, obs, nums) -> update fn."""
+
+    def loss_fn(params, rng, obs, nums):
+        target, aux = model.loss_and_metrics(params, rng, obs, nums, l2_weight)
+        return target, aux["metrics"]
+
+    def train_step(params, opt_state, rng, obs, nums):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, rng, obs, nums
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model: Model) -> Callable:
+    def eval_step(params, rng, obs, nums):
+        _, aux = model.loss_and_metrics(params, rng, obs, nums)
+        return aux["metrics"]
+
+    return jax.jit(eval_step)
+
+
+def init_train(model: Model, optimizer, rng, example_obs) -> TrainState:
+    params = model.init(rng, example_obs)
+    opt_state = optimizer.init(params)
+    return TrainState(params, opt_state, 0)
