@@ -51,11 +51,15 @@ class SequentialAIR:
                 None if self.generate_after < 0 else jnp.asarray(0.0),
             )
 
-        ts_params = self.timestep.init(ts_rng, step_rng, img0, method=init_step)
+        # jit the inits: eager init would execute thousands of tiny ops
+        # one-by-one (pathological over a remote-device tunnel)
+        ts_params = jax.jit(
+            lambda r, sr, im: self.timestep.init(r, sr, im, method=init_step)
+        )(ts_rng, step_rng, img0)
 
         B = img0.shape[0]
         S = self.timestep.n_steps
-        dec_params = self.decoder.init(
+        dec_params = jax.jit(self.decoder.init)(
             dec_rng,
             jnp.zeros((B, S, self.timestep.n_what)),
             jnp.zeros((B, S, 4)),

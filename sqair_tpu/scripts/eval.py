@@ -1,0 +1,120 @@
+"""Checkpoint-sweep evaluation.
+
+Reference: sqair/scripts/eval.py — walks every nth checkpoint of a run,
+restores, averages metrics over the full valid (or train) set, appends
+"itr: value" lines to <metric>_<dataset>.txt in the run dir; resumable
+(skips already-evaluated iterations).
+
+Run:
+    python -m sqair_tpu.scripts.eval --checkpoint_dir results/multi_mnist/1 \
+        --data_config sqair_tpu/configs/synth_seq_mnist_data.py \
+        --model_config sqair_tpu/configs/mlp_mnist_model.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+from os import path as osp
+
+import jax
+import numpy as np
+
+from sqair_tpu.experiment import flags
+from sqair_tpu.experiment.experiment_tools import (
+    json_load,
+    load,
+    parse_flags,
+)
+from sqair_tpu.training import find_checkpoints, restore_checkpoint
+from sqair_tpu.training.train import init_train, make_eval_step, make_optimizer
+
+flags.DEFINE_string("checkpoint_dir", "", "Run dir with checkpoints (…/run/<n>).")
+flags.DEFINE_string("data_config", "sqair_tpu/configs/synth_seq_mnist_data.py", "")
+flags.DEFINE_string("model_config", "sqair_tpu/configs/mlp_mnist_model.py", "")
+flags.DEFINE_string("dataset", "valid", "valid | train")
+flags.DEFINE_integer("every_nth_checkpoint", 1, "Evaluate every nth checkpoint.")
+flags.DEFINE_integer("eval_batch_size", 32, "")
+
+METRICS = ("iwae", "vae", "num_step_accuracy", "data_ll", "kl")
+METRIC_FILES = {"iwae": "logpx", "vae": "vae", "num_step_accuracy": "acc",
+                "data_ll": "data_ll", "kl": "kl"}
+
+
+def _already_evaluated(log_path: str):
+    done = set()
+    if os.path.exists(log_path):
+        with open(log_path) as f:
+            for line in f:
+                try:
+                    done.add(int(line.split(":")[0]))
+                except ValueError:
+                    pass
+    return done
+
+
+def main(argv=None):
+    if argv is not None:
+        sys.argv = [sys.argv[0]] + list(argv)
+
+    # load configs first so their flags exist, then restore the run's flags
+    parse_flags()
+    F = flags.FLAGS
+    run_dir = F.checkpoint_dir
+    assert run_dir, "--checkpoint_dir is required"
+
+    flag_file = osp.join(run_dir, "flags.json")
+    if osp.exists(flag_file):
+        restored = json_load(flag_file)
+        for key in ("checkpoint_dir", "data_config", "model_config", "dataset",
+                    "every_nth_checkpoint", "eval_batch_size"):
+            restored.pop(key, None)
+        flags.FLAGS.restore({**flags.FLAGS.as_dict(), **restored})
+
+    data_dict = load(F.data_config, F.eval_batch_size)
+    imgs = data_dict["train_data"]["imgs"]
+    mean_img = imgs.mean(tuple(range(imgs.ndim - 2)))
+
+    batcher = data_dict[f"{F.dataset}_iter"]
+    n_data = data_dict[f"{F.dataset}_data"]["imgs"].shape[1]
+    n_batches = max(1, n_data // F.eval_batch_size)
+
+    example = next(batcher)
+    model = load(F.model_config, img=example["imgs"], num=example["nums"],
+                 mean_img=mean_img)
+    optimizer = make_optimizer("sgd", 0.0)
+    state = init_train(model, optimizer, jax.random.PRNGKey(0), example["imgs"])
+    eval_step = make_eval_step(model)
+
+    ckpts = find_checkpoints(run_dir)
+    steps = sorted(ckpts)[:: F.every_nth_checkpoint]
+    print(f"Evaluating {len(steps)} checkpoints on '{F.dataset}' "
+          f"({n_batches} batches each)")
+
+    log_paths = {
+        m: osp.join(run_dir, f"{METRIC_FILES[m]}_{F.dataset}.txt") for m in METRICS
+    }
+    done = _already_evaluated(log_paths["iwae"])
+
+    for step_num in steps:
+        if step_num in done:
+            print(f"skipping {step_num} (already evaluated)")
+            continue
+        restored = restore_checkpoint(ckpts[step_num], state.as_dict())
+        params = restored["params"]
+
+        totals = {m: 0.0 for m in METRICS}
+        for _ in range(n_batches):
+            batch = next(batcher)
+            metrics = eval_step(params, jax.random.PRNGKey(1), batch["imgs"],
+                                batch["nums"])
+            for m in METRICS:
+                totals[m] += float(metrics.get(m, np.nan))
+        for m in METRICS:
+            totals[m] /= n_batches
+            with open(log_paths[m], "a") as f:
+                f.write(f"{step_num}: {totals[m]}\n")
+        print(f"{step_num}: " + ", ".join(f"{m}={totals[m]:.4f}" for m in METRICS))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""Training entry point for SQAIR-TPU.
+
+Reference: sqair/scripts/experiment.py — same flags, same cadence
+(heartbeat / tensorboard / figures / checkpoints), same curriculum recipe.
+
+Run (synthetic data, no pickles needed):
+    python -m sqair_tpu.scripts.experiment \
+        --data_config sqair_tpu/configs/synth_seq_mnist_data.py \
+        --model_config sqair_tpu/configs/mlp_mnist_model.py \
+        --results_dir results --run_name multi_mnist \
+        --seq_len 3 --stage_itr 100000
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from os import path as osp
+
+import jax
+import numpy as np
+
+from sqair_tpu.data.loader import curriculum_seq_len, truncate_batch
+from sqair_tpu.eval_tools import MetricWriter, ProgressFig, make_logger
+from sqair_tpu.experiment import flags
+from sqair_tpu.experiment.experiment_tools import (
+    init_checkpoint,
+    load,
+    parse_flags,
+    print_flags,
+    print_num_params,
+)
+from sqair_tpu.training import (
+    init_train,
+    latest_checkpoint,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+# entry flags (experiment.py:41-69)
+flags.DEFINE_string("data_config", "sqair_tpu/configs/synth_seq_mnist_data.py",
+                    "Path to a data config file.")
+flags.DEFINE_string("model_config", "sqair_tpu/configs/mlp_mnist_model.py",
+                    "Path to a model config file.")
+flags.DEFINE_string("results_dir", "results", "Top results directory.")
+flags.DEFINE_string("run_name", "test_run", "Name of this job.")
+
+flags.DEFINE_integer("batch_size", 32, "")
+
+flags.DEFINE_integer("log_itr", int(1e4), "Iters between full evals.")
+flags.DEFINE_integer("report_loss_every", int(1e3), "Iters between heartbeats.")
+flags.DEFINE_integer("save_itr", int(1e5), "Iters between checkpoints.")
+flags.DEFINE_integer("fig_itr", int(1e4), "Iters between figures.")
+flags.DEFINE_integer("train_itr", int(2e6), "Max training iterations.")
+flags.DEFINE_boolean("resume", False, "Resume the previous run.")
+flags.DEFINE_boolean("log_at_start", False, "Evaluate before training.")
+flags.DEFINE_boolean("eval_on_train", True, "Also evaluate on the train set.")
+flags.DEFINE_float("eval_size_fraction", 1.0, "Fraction of data used in evals.")
+
+flags.DEFINE_string("opt", "rmsprop", "rmsprop | adam | sgd | momentum")
+flags.DEFINE_float("learning_rate", 1e-5, "Initial learning rate.")
+flags.DEFINE_float("l2", 0.0, "L2 regularisation weight.")
+flags.DEFINE_string("schedule", "4,6,10", "Piecewise-constant lr schedule.")
+
+flags.DEFINE_boolean("test_run", False, "Tiny smoke-test preset.")
+flags.DEFINE_string("gpu", "0", "Unused (TPU build); kept for CLI parity.")
+flags.DEFINE_boolean("debug", False, "Extra logging.")
+flags.DEFINE_boolean("data_parallel", True,
+                     "Shard the batch over all local devices.")
+
+
+def main(argv=None):
+    if argv is not None:
+        sys.argv = [sys.argv[0]] + list(argv)
+
+    parse_flags()
+    F = flags.FLAGS
+
+    if F.test_run:  # (experiment.py:78-97)
+        F.run_name = "mnist_test"
+        F.data_config = "sqair_tpu/configs/synth_seq_mnist_data.py"
+        F.model_config = "sqair_tpu/configs/mlp_mnist_model.py"
+        F.seq_len = 2
+        F.eval_on_train = False
+        F.report_loss_every = 10
+        F.log_itr = 100
+        F.fig_itr = 100
+        F.save_itr = 200
+        F.train_itr = 200
+        F.n_units = 4
+        F.synth_train_samples = 64
+        F.synth_valid_samples = 32
+        F.synth_timesteps = 3
+        F.batch_size = 8
+        F.k_particles = 2
+
+    logdir = osp.join(F.results_dir, F.run_name)
+    logdir, flag_dict, resume_checkpoint = init_checkpoint(
+        logdir, F.data_config, F.model_config, F.resume
+    )
+
+    # ------------------------------------------------------------- data
+    data_dict = load(F.data_config, F.batch_size)
+    train_imgs = data_dict["train_data"]["imgs"]
+    mean_img = train_imgs.mean(tuple(range(train_imgs.ndim - 2)))
+    assert mean_img.ndim == 2
+
+    # ------------------------------------------------------------ model
+    example_batch = next(data_dict["train_iter"])
+    model = load(
+        F.model_config,
+        img=example_batch["imgs"],
+        coords=example_batch.get("coords"),
+        num=example_batch["nums"],
+        mean_img=mean_img,
+    )
+
+    # -------------------------------------------------------- optimiser
+    lr = make_lr_schedule(F.learning_rate, F.schedule, F.train_itr)
+    optimizer = make_optimizer(F.opt, lr)
+
+    rng = jax.random.PRNGKey(0)
+    max_T = data_dict["max_timesteps"]
+
+    def stage_len(itr):
+        return curriculum_seq_len(itr, data_dict["seq_len"], data_dict["stage_itr"], max_T)
+
+    init_batch = truncate_batch(example_batch, stage_len(0))
+    state = init_train(model, optimizer, rng, init_batch["imgs"])
+    print_flags()
+    print_num_params(state.params)
+
+    if resume_checkpoint is not None:
+        print(f"Restoring checkpoint from '{resume_checkpoint}'")
+        restored = restore_checkpoint(resume_checkpoint, state.as_dict())
+        state.params = restored["params"]
+        state.opt_state = restored["opt_state"]
+        state.step = int(restored["step"])
+
+    train_step = make_train_step(model, optimizer, F.l2, donate=False)
+    from sqair_tpu.training import make_eval_step
+
+    eval_step = make_eval_step(model)
+
+    # ---------------------------------------------------------- logging
+    writer = MetricWriter(logdir)
+    factor = F.eval_size_fraction
+    ax = data_dict["axes"]["imgs"]
+    train_batches = max(1, int(data_dict["train_data"]["imgs"].shape[ax] * factor / F.batch_size))
+    valid_batches = max(1, int(data_dict["valid_data"]["imgs"].shape[ax] * factor / F.batch_size))
+
+    def eval_fn(obs, nums):
+        return eval_step(state.params, jax.random.PRNGKey(1), obs, nums)
+
+    log = make_logger(
+        eval_fn, writer, data_dict["train_iter"], train_batches,
+        data_dict["valid_iter"], valid_batches, F.eval_on_train,
+        seq_len_fn=stage_len,
+    )
+
+    def render_fn(obs, nums):
+        _, aux = model.loss_and_metrics(state.params, jax.random.PRNGKey(2), obs, nums)
+        return aux["render"]
+
+    from sqair_tpu.common_model_flags import get_params
+
+    progress_fig = ProgressFig(
+        render_fn, logdir, img_size=mean_img.shape,
+        glimpse_size=get_params()["glimpse_size"], seq_n_samples=4,
+    )
+
+    def try_plot(itr):
+        try:
+            batch = truncate_batch(next(data_dict["valid_iter"]), stage_len(itr))
+            progress_fig.plot_all(itr, batch)
+        except Exception as e:  # noqa: BLE001 - plotting must never kill training
+            print(f"figure plotting failed: {e}")
+
+    # ------------------------------------------------------------- loop
+    train_itr = state.step
+    print(f"Starting training at iter = {train_itr}")
+    if F.log_at_start or train_itr == 0:
+        log(train_itr)
+        try_plot(train_itr)
+
+    report_every = F.report_loss_every
+    t0 = time.time()
+    frames_done = 0
+    while train_itr < F.train_itr:
+        batch = truncate_batch(next(data_dict["train_iter"]), stage_len(train_itr))
+        state.params, state.opt_state, metrics = train_step(
+            state.params, state.opt_state, jax.random.fold_in(rng, train_itr),
+            batch["imgs"], batch["nums"],
+        )
+        train_itr += 1
+        state.step = train_itr
+        frames_done += batch["imgs"].shape[0] * F.batch_size
+
+        if train_itr % report_every == 0:
+            dt = time.time() - t0
+            fps = frames_done / max(dt, 1e-9)
+            heartbeat = {
+                "target": float(metrics["target"]),
+                "iwae": float(metrics["normalised_iwae"]),
+                "num_steps": float(metrics["num_steps"]),
+                "num_step_acc": float(metrics.get("num_step_accuracy", np.nan)),
+                "seq_len": batch["imgs"].shape[0],
+                "frames_per_sec": fps,
+            }
+            print(f"{train_itr}: " + ", ".join(f"{k}={v:.5g}" for k, v in heartbeat.items()))
+            writer.write(train_itr, heartbeat)
+            t0, frames_done = time.time(), 0
+
+        if train_itr % F.log_itr == 0:
+            log(train_itr)
+        if train_itr % F.save_itr == 0:
+            save_checkpoint(logdir, train_itr, state.as_dict())
+        if train_itr % F.fig_itr == 0:
+            try_plot(train_itr)
+
+    save_checkpoint(logdir, train_itr, state.as_dict())
+    try_plot(train_itr)
+    writer.close()
+    return logdir, state
+
+
+if __name__ == "__main__":
+    main()
