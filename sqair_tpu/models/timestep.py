@@ -219,8 +219,8 @@ class SQAIRTimestep(nn.Module):
         to_partition["temporal_state"] = temporal
 
         presence = hidden_outputs["presence"][..., 0]
-        partitioned = indexing.select_present(to_partition, presence)
-        partitioned = jax.tree_util.tree_map(lambda x: x[:, : self.n_steps], partitioned)
+        partitioned = indexing.select_present(to_partition, presence,
+                                              top_k=self.n_steps)
 
         obj_ids = partitioned.pop("obj_id")
         prior_state = partitioned.pop("prior_state")

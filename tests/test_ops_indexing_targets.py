@@ -48,6 +48,22 @@ class TestSelectPresent:
         got = np.asarray(indexing.select_present(x, presence))[0, :, 0]
         np.testing.assert_array_equal(got, [1, 3, 4, 7, 0, 2, 5, 6])
 
+    def test_top_k_fused_truncate(self, np_rng):
+        x = (np_rng.rand(4, 6, 5).astype(np.float32) - 0.5) * 100.0
+        presence = (np_rng.rand(4, 6) > 0.4).astype(np.float32)
+        full = indexing.select_present(jnp.asarray(x), jnp.asarray(presence))
+        trunc = indexing.select_present(jnp.asarray(x), jnp.asarray(presence), top_k=3)
+        np.testing.assert_array_equal(np.asarray(full)[:, :3], np.asarray(trunc))
+
+    def test_exact_for_negative_and_large_values(self):
+        # object IDs are negative floats; the one-hot matmul must be bitwise
+        x = jnp.asarray([[[-1.0], [12345.678], [-0.0001], [7e7]]], jnp.float32)
+        presence = jnp.asarray([[0.0, 1.0, 0.0, 1.0]], jnp.float32)
+        got = np.asarray(indexing.select_present(x, presence))[0, :, 0]
+        np.testing.assert_array_equal(
+            got, np.asarray([12345.678, 7e7, -1.0, -0.0001], np.float32)
+        )
+
     def test_pytree(self, np_rng):
         x = np_rng.rand(2, 4, 3).astype(np.float32)
         y = np_rng.rand(2, 4).astype(np.float32)
