@@ -41,12 +41,16 @@ def parse_string_flag(flag, dtype=np.float32, sep=",", num_elements=-1):
     return values
 
 
-def load(img, coords=None, num=None, mean_img=None, debug=False) -> Model:
+def load(img, coords=None, num=None, mean_img=None, debug=False,
+         **param_overrides) -> Model:
     """:param img: [T, B, H, W] array (shapes only)
     :param mean_img: [H, W] array added as trainable background
+    :param param_overrides: overrides for get_params() entries (used by
+        config variants, e.g. the non-square pedestrian glimpse)
     """
     F = flags.FLAGS
     params = get_params()
+    params.update(param_overrides)
     img = np.asarray(img)
     img_size = tuple(img.shape[2:4])
 

@@ -34,6 +34,9 @@ class _FlagValues:
         values = object.__getattribute__(self, "_values")
         if name in values:
             return values[name]
+        defs = object.__getattribute__(self, "_defs")
+        if name in defs:  # defined but value cleared (e.g. test isolation)
+            return defs[name][1]
         raise AttributeError(f"Unknown flag '{name}'")
 
     def __setattr__(self, name, value):
@@ -96,6 +99,21 @@ def DEFINE_boolean(name, default, help_str=""):
 
 
 DEFINE_bool = DEFINE_boolean
+
+
+def set_default(name: str, value) -> None:
+    """Changes a flag's default after definition (config-variant helper).
+
+    The current value is updated too unless the user already overrode it
+    (by CLI parse or direct assignment) to something other than the old
+    default.
+    """
+    if name not in FLAGS._defs:
+        raise KeyError(f"Unknown flag '{name}'")
+    ftype, old_default, help_str = FLAGS._defs[name]
+    FLAGS._defs[name] = (ftype, value, help_str)
+    if FLAGS._values.get(name) == old_default:
+        FLAGS._values[name] = value
 
 
 def reset_for_testing():

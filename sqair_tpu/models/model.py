@@ -27,28 +27,32 @@ class Model:
         tiled = indexing.tile_input_for_iwae(obs, self.k_particles, with_time=True)
         return self.sequence.init(rng, tiled)
 
-    def forward(self, params, rng, obs) -> Dict:
+    def forward(self, params, rng, obs, record_mode: str = "full") -> Dict:
         """Runs the sequence model on particle-tiled inputs.
 
         :param obs: [T, B, H, W]
         :return: outputs dict with [T, B*k, ...] leaves
         """
         tiled_obs = indexing.tile_input_for_iwae(obs, self.k_particles, with_time=True)
-        outputs = self.sequence(params, rng, tiled_obs)
+        outputs = self.sequence(params, rng, tiled_obs, record_mode=record_mode)
         outputs["tiled_obs"] = tiled_obs
         return outputs
 
     def loss_and_metrics(self, params, rng, obs, gt_presence=None,
-                         l2_weight: float = 0.0) -> Tuple[jnp.ndarray, Dict]:
+                         l2_weight: float = 0.0,
+                         record_mode: str = "full") -> Tuple[jnp.ndarray, Dict]:
         """Computes the VIMCO target and the reference's metric set.
 
         :param obs: [T, B, H, W]
         :param gt_presence: [T, B, S+1] cumulative one-hot object counts
+        :param record_mode: "full" also returns the render tensors used by
+            figures; "train" uses the trimmed per-timestep record (identical
+            target and metrics, no canvas/glimpse stacking in the scan)
         :return: (target scalar, dict of metrics + render tensors)
         """
         k = self.k_particles
         T, B = obs.shape[0], obs.shape[1]
-        outputs = self.forward(params, rng, obs)
+        outputs = self.forward(params, rng, obs, record_mode=record_mode)
 
         log_weights = jnp.sum(outputs["log_weights_per_timestep"], 0)  # [B*k]
         log_weights = log_weights.reshape((B, k))
@@ -95,8 +99,11 @@ class Model:
             metrics[name] = imp_weighted_mean(outputs[key])
 
         # MSE between input and canvas (model.py:112-121)
-        tiled_obs = outputs["tiled_obs"]
-        mse_per_sample = jnp.mean((tiled_obs - outputs["canvas"]) ** 2, axis=(0, 2, 3))
+        if record_mode == "train":
+            mse_per_sample = jnp.mean(outputs["mse_per_timestep"], axis=0)
+        else:
+            tiled_obs = outputs["tiled_obs"]
+            mse_per_sample = jnp.mean((tiled_obs - outputs["canvas"]) ** 2, axis=(0, 2, 3))
         metrics["mse"] = imp_weighted_mean(mse_per_sample[None])
         metrics["raw_mse"] = jnp.mean(mse_per_sample)
 
@@ -117,10 +124,11 @@ class Model:
 
         # resampled tensors for rendering (model.py:137-148)
         render = {}
-        for name in ("obj_id", "canvas", "glimpse", "presence_prob", "presence",
-                     "presence_logit", "where"):
-            if name in outputs:
-                render["resampled_" + name] = resample(outputs[name])
-        render["obs"] = obs
+        if record_mode != "train":
+            for name in ("obj_id", "canvas", "glimpse", "presence_prob",
+                         "presence", "presence_logit", "where"):
+                if name in outputs:
+                    render["resampled_" + name] = resample(outputs[name])
+            render["obs"] = obs
 
         return target, dict(metrics=metrics, render=render, log_weights=log_weights)

@@ -68,11 +68,17 @@ class SequentialAIR:
         return {"timestep": ts_params, "decoder": dec_params}
 
     # ----------------------------------------------------------------- apply
-    def __call__(self, params, rng, obs) -> Dict:
+    def __call__(self, params, rng, obs, record_mode: str = "full") -> Dict:
         """Runs the model over a sequence.
 
         :param obs: [T, B, H, W]
-        :return: dict of stacked outputs [T, ...] (reference's 38 fields)
+        :param record_mode: "full" stacks the reference's complete 38-field
+            per-timestep record (seq.py:121-177); "train" keeps only the
+            fields the loss/metrics consume (per-sample log-probs, counts,
+            per-step MSE) — the full-frame canvas/glimpse stacks are never
+            materialised, which removes the largest per-step HBM writes
+            from the hot loop.
+        :return: dict of stacked outputs [T, ...]
         """
         T, B = obs.shape[0], obs.shape[1]
         carry0 = self.timestep.apply(
@@ -106,6 +112,31 @@ class SequentialAIR:
             log_weights = data_ll - kl
 
             prop, disc = out["prop"], out["disc"]
+            if record_mode == "train":
+                record = dict(
+                    discrete_log_prob=prop["prop_log_prob"] + disc["num_step_log_prob"],
+                    num_prop_steps_per_sample=prop["num_steps"],
+                    num_disc_steps_per_sample=disc["num_steps"],
+                    num_steps_per_sample=out["num_steps"],
+                    data_ll_per_sample=data_ll,
+                    kl_per_sample=kl,
+                    log_q_z_given_x_per_sample=out["q_z_given_x"],
+                    log_p_z_per_sample=out["p_z"],
+                    log_weights_per_timestep=log_weights,
+                    mse_per_timestep=jnp.mean(
+                        (img - p_x_given_z.mean) ** 2, axis=(1, 2)
+                    ),
+                )
+                record = {k: _squeeze_last(v) for k, v in record.items()}
+                new_carry = dict(
+                    z=z_t,
+                    time_state=out["temporal_hidden_state"],
+                    prior_state=out["prop_prior_state"],
+                    prev_ids=out["ids"],
+                    last_used_id=out["highest_used_ids"],
+                )
+                return new_carry, record
+
             record = dict(
                 # RNN outputs
                 what=out["what"],

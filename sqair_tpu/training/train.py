@@ -69,7 +69,8 @@ def make_train_step(model: Model, optimizer: optax.GradientTransformation,
     """Builds the jitted (params, opt_state, rng, obs, nums) -> update fn."""
 
     def loss_fn(params, rng, obs, nums):
-        target, aux = model.loss_and_metrics(params, rng, obs, nums, l2_weight)
+        target, aux = model.loss_and_metrics(params, rng, obs, nums, l2_weight,
+                                             record_mode="train")
         return target, aux["metrics"]
 
     def train_step(params, opt_state, rng, obs, nums):

@@ -121,6 +121,23 @@ class TestModelWrapper:
         assert 1.0 <= float(metrics["ess"]) <= 3.0 + 1e-5
         assert aux["render"]["resampled_canvas"].shape == (T, B, H, W)
 
+    def test_train_record_mode_matches_full(self, model):
+        """record_mode='train' must give the same target and metrics as
+        'full' — it only skips the render stacks."""
+        m, params, obs = model
+        gt = jnp.concatenate([jnp.ones((T, B, 1)), jnp.zeros((T, B, S))], -1)
+        rng = jax.random.PRNGKey(7)
+        t_full, aux_full = m.loss_and_metrics(params, rng, obs, gt)
+        t_train, aux_train = m.loss_and_metrics(params, rng, obs, gt,
+                                                record_mode="train")
+        np.testing.assert_allclose(float(t_full), float(t_train), rtol=1e-6)
+        for k, v in aux_train["metrics"].items():
+            np.testing.assert_allclose(
+                np.asarray(aux_full["metrics"][k]), np.asarray(v),
+                rtol=1e-5, atol=1e-6, err_msg=k,
+            )
+        assert aux_train["render"] == {}
+
     def test_iwae_geq_vae_on_average(self, model):
         m, params, obs = model
         _, aux = m.loss_and_metrics(params, jax.random.PRNGKey(4), obs)

@@ -1,3 +1,4 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Wall-clock breakdown of the training step on the attached accelerator.
 
 Times jitted sub-graphs of the paper-grade config independently:

@@ -1,3 +1,4 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, numpy as np, jax, jax.numpy as jnp
 from sqair_tpu.models import AIRDecoder, Model, SequentialAIR, SQAIRTimestep
 from sqair_tpu.training import init_train, make_optimizer, make_train_step
