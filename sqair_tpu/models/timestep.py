@@ -171,6 +171,29 @@ class SQAIRTimestep(nn.Module):
         outputs["num_steps"] = jnp.sum(hidden_outputs["presence"][..., 0], -1)
         return outputs
 
+    # -------------------------------------------------------------- helpers
+    def propagate_only(self, rng, img, z_tm1, temporal_hidden_state,
+                       prop_prior_state, sample_from_prior: bool = False,
+                       do_generate=None) -> Dict:
+        """Propagation-only debug step (no discovery, no merge).
+
+        Mirror of the reference's PropagateOnlyTimestep mock
+        (sqair_modules.py:388-414): initialise z with ground-truth
+        positions/presence and step only the propagation path — the
+        standard tool for debugging tracking in isolation.  Call via
+        ``timestep.apply(params, ..., method=SQAIRTimestep.propagate_only)``.
+        """
+        outputs = self.propagate(
+            rng, img, z_tm1, temporal_hidden_state, prop_prior_state,
+            sample_from_prior, do_generate,
+        )
+        h = outputs["hidden_outputs"]
+        outputs["z_t"] = (h["what"], h["where"], h["presence"],
+                          h["presence_logit"])
+        outputs["prop_prior_state"] = outputs.pop("prior_state")
+        outputs["temporal_hidden_state"] = outputs.pop("temporal_state")
+        return outputs
+
     def _encode_latents(self, what, where, presence):
         """DeepSet summary (sqair_modules.py:368-385)."""
         inpts = jnp.concatenate([what, where], -1)

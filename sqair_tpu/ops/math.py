@@ -30,6 +30,22 @@ def ess(weights: jnp.ndarray, average: bool = False) -> jnp.ndarray:
     return res
 
 
+def delay_training_for(expr, global_step, num_train_iters: int):
+    """Stop-gradient schedule: gradients flow only after num_train_iters.
+
+    Reference: sqair/ops.py:104-121.  Functional form — the caller passes
+    the global step instead of reading a graph collection.
+    """
+    if num_train_iters == 0:
+        return expr
+    is_trainable = (jnp.asarray(global_step) > num_train_iters).astype(jnp.float32)
+
+    def delay(x):
+        return is_trainable * x + (1.0 - is_trainable) * jax.lax.stop_gradient(x)
+
+    return jax.tree_util.tree_map(delay, expr)
+
+
 def maybe_concat(tensors, axis: int = -1) -> jnp.ndarray:
     """Concatenates a (possibly nested) list of tensors along ``axis``.
 

@@ -163,3 +163,32 @@ class TestModelWrapper:
                 zero_paths.append(jax.tree_util.keystr(path))
         # the overwhelming majority of params must receive nonzero gradient
         assert n_nonzero / len(flat) > 0.8, f"zero-grad params: {zero_paths}"
+
+
+class TestDebugTools:
+    def test_propagate_only_timestep(self, built):
+        """Reference's PropagateOnlyTimestep mock (sqair_modules.py:388-414)."""
+        seq, params, obs = built
+        ts = seq.timestep
+        B_ = obs.shape[1]
+        carry = ts.apply(params["timestep"], B_, method=ts.initial_carry)
+        out = ts.apply(
+            params["timestep"], jax.random.PRNGKey(5), obs[0],
+            carry["z"], carry["time_state"], carry["prior_state"],
+            method=type(ts).propagate_only,
+        )
+        assert len(out["z_t"]) == 4
+        assert out["z_t"][0].shape == (B_, S, NWHAT)
+        for v in jax.tree_util.tree_leaves(out):
+            assert np.all(np.isfinite(np.asarray(v)))
+
+    def test_delay_training_for(self):
+        from sqair_tpu.ops.math import delay_training_for
+
+        f = lambda x, step: jnp.sum(delay_training_for(x, step, 10) ** 2)
+        g_before = jax.grad(f)(jnp.ones(3), 5)
+        g_after = jax.grad(f)(jnp.ones(3), 15)
+        np.testing.assert_array_equal(np.asarray(g_before), 0.0)
+        np.testing.assert_array_equal(np.asarray(g_after), 2.0)
+        # value unchanged either way
+        np.testing.assert_allclose(float(f(jnp.ones(3), 5)), 3.0)
