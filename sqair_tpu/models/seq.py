@@ -27,11 +27,20 @@ class SequentialAIR:
     """
 
     def __init__(self, timestep: SQAIRTimestep, decoder: AIRDecoder,
-                 sample_from_prior: bool = False, generate_after: int = -1):
+                 sample_from_prior: bool = False, generate_after: int = -1,
+                 remat: str = "dots"):
+        """:param remat: rematerialisation policy for the time-scan body:
+            "none" (store all residuals), "full" (jax.checkpoint, recompute
+            everything in backward), or "dots" (save matmul outputs only —
+            elementwise chains recompute).  Residual stacking is ~25% of
+            the train step's device time at the paper config, so "dots" is
+            the default.
+        """
         self.timestep = timestep
         self.decoder = decoder
         self.sample_from_prior = sample_from_prior
         self.generate_after = generate_after
+        self.remat = remat
 
     # ------------------------------------------------------------------ init
     def init(self, rng, obs) -> Dict:
@@ -196,5 +205,11 @@ class SequentialAIR:
             )
             return new_carry, record
 
+        if self.remat == "full":
+            step = jax.checkpoint(step)
+        elif self.remat == "dots":
+            step = jax.checkpoint(
+                step, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            )
         _, outputs = jax.lax.scan(step, carry0, (ts, obs, step_rngs))
         return outputs
