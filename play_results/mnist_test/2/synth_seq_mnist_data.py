@@ -1,0 +1,37 @@
+"""Data config that synthesises a moving-digit dataset in-process.
+
+No reference counterpart (the build image has neither MNIST nor network
+access): procedurally generated stroke digits, otherwise the exact
+dataset-creation pipeline of create_seq_mnist.py.  Output contract is
+identical to seq_mnist_data.py.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from sqair_tpu.data import create_seq_dataset
+from sqair_tpu.data.mnist_tools import load as _load
+from sqair_tpu.experiment import flags
+
+flags.DEFINE_integer("synth_train_samples", 2048, "#synthetic train sequences")
+flags.DEFINE_integer("synth_valid_samples", 256, "#synthetic valid sequences")
+flags.DEFINE_integer("synth_timesteps", 10, "sequence length")
+flags.DEFINE_integer("synth_seed", 0, "dataset seed")
+flags.DEFINE_integer("synth_obj_size", 28, "digit size in pixels")
+
+
+def load(batch_size: int, n_timesteps=None):
+    F = flags.FLAGS
+    obj = (F.synth_obj_size, F.synth_obj_size)
+    train = create_seq_dataset(
+        n_samples=F.synth_train_samples, n_timesteps=F.synth_timesteps,
+        obj_size=obj, seed=F.synth_seed,
+    )
+    valid = create_seq_dataset(
+        n_samples=F.synth_valid_samples, n_timesteps=F.synth_timesteps,
+        obj_size=obj, seed=F.synth_seed + 1,
+    )
+    for d in (train, valid):
+        d["imgs"] = d["imgs"].astype(np.float32) / 255.0
+        d["nums"] = d["nums"].astype(np.float32)
+    return _load(batch_size, n_timesteps, train_data=train, valid_data=valid)

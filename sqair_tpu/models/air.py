@@ -143,17 +143,34 @@ class AIRDecoder(nn.Module):
         :return: (Normal over [B, H, W], glimpse [B, S, gh, gw])
         """
         glimpse = self._glimpse_decoder(what)
-        canvas = self._decode(glimpse, presence, where)
-        canvas, written_to_mask = self._add_mean_image(canvas, presence, where)
+        if where is not None:
+            # one shared pair of paste matrices serves both the glimpse
+            # paste and the written-to mask; the mask's all-ones glimpse
+            # factorises into a rank-1 outer product of the row sums
+            # (reference computes both with full resampler passes,
+            # modules.py:435-467)
+            coords = stn.to_coords(where)
+            uy, ux = stn.paste_matrices(coords, self.glimpse_size, self.img_size)
+            pasted = jnp.einsum("bshi,bsij,bswj->bshw", uy, glimpse, ux,
+                                precision=jax.lax.Precision.HIGHEST)
+            ones_paste = jnp.einsum("bsh,bsw->bshw", jnp.sum(uy, -1),
+                                    jnp.sum(ux, -1),
+                                    precision=jax.lax.Precision.HIGHEST)
+            if presence is not None:
+                pasted = pasted * presence[..., None]
+                ones_paste = ones_paste * presence[..., None]
+            canvas = jnp.sum(pasted, axis=1)
+            non_zero_mask = jnp.sum(ones_paste, axis=1)
+        else:
+            canvas = self._decode(glimpse, presence, None)
+            non_zero_mask = self._decode(
+                jnp.ones(glimpse.shape), presence, None
+            )
+
+        written_to_mask = jax.nn.sigmoid(-10.0 + non_zero_mask * 20.0)
+        if self.mean_img is not None:
+            canvas = canvas + self._mean_img[None] * written_to_mask
 
         output_std, background_std = self._stds()
         std = written_to_mask * output_std + (1.0 - written_to_mask) * background_std
         return D.Normal(canvas, std), glimpse
-
-    def _add_mean_image(self, canvas, presence, where):
-        ones = jnp.ones(where.shape[:2] + tuple(self.glimpse_size))
-        non_zero_mask = self._decode(ones, presence, where)
-        non_zero_mask = jax.nn.sigmoid(-10.0 + non_zero_mask * 20.0)
-        if self.mean_img is not None:
-            canvas = canvas + self._mean_img[None] * non_zero_mask
-        return canvas, non_zero_mask

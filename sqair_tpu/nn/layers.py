@@ -27,12 +27,30 @@ def const_init(value):
     return init
 
 
+def _transfer_name(fn: Optional[Callable]) -> str:
+    """Maps a transfer callable to a fused-kernel activation tag."""
+    if fn is None:
+        return "id"
+    name = getattr(fn, "__name__", "")
+    if name in ("elu",):
+        return "elu"
+    if name in ("sigmoid",):
+        return "sigmoid"
+    if name in ("tanh",):
+        return "tanh"
+    return ""  # unknown -> apply the callable outside the kernel
+
+
 class MLP(nn.Module):
     """Elu MLP with optional linear output head.
 
     Reference: sqair/neural.py:111-116 (MLP of `Nonlinear` layers).
     ``n_hiddens`` may be arbitrarily nested (the reference configs pass
     1-tuples of lists due to trailing commas; nest.flatten tolerates it).
+
+    The whole stack executes as ONE fused Pallas kernel on TPU (see
+    ops/fused.py); params are held per-layer as (w_i, b_i) so the kernel
+    can consume them directly.
     """
 
     n_hiddens: Any
@@ -43,15 +61,52 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        flat_hiddens = jax.tree_util.tree_leaves(self.n_hiddens)
-        for h in flat_hiddens:
-            x = self.hidden_transfer(nn.Dense(int(h))(x))
-        if self.n_out is not None:
-            bias_init = self.output_bias_init or nn.initializers.zeros_init()
-            x = nn.Dense(self.n_out, bias_init=bias_init)(x)
-            if self.transfer is not None:
-                x = self.transfer(x)
-        return x
+        from ..ops import fused
+
+        flat_hiddens = [int(h) for h in jax.tree_util.tree_leaves(self.n_hiddens)]
+        dims = flat_hiddens + ([self.n_out] if self.n_out is not None else [])
+        hidden_tag = _transfer_name(self.hidden_transfer)
+        out_tag = _transfer_name(self.transfer)
+
+        params, transfers = [], []
+        d_in = x.shape[-1]
+        kernel_init = nn.initializers.lecun_normal()
+        for i, d_out in enumerate(dims):
+            is_out = self.n_out is not None and i == len(dims) - 1
+            if is_out:
+                bias_init = self.output_bias_init or nn.initializers.zeros_init()
+            else:
+                bias_init = nn.initializers.zeros_init()
+            w = self.param(f"w_{i}", kernel_init, (d_in, d_out))
+            b = self.param(f"b_{i}", bias_init, (d_out,))
+            params.append((w, b))
+            transfers.append(out_tag if is_out else hidden_tag)
+            d_in = d_out
+
+        if not params:
+            return x
+
+        # unknown transfers fall outside the kernel
+        tail = None
+        if transfers and transfers[-1] == "":
+            transfers[-1] = "id"
+            tail = self.transfer if self.n_out is not None else self.hidden_transfer
+        if any(t == "" for t in transfers):  # unknown hidden transfer
+            y = x
+            for (w, b), is_last in zip(
+                params, [False] * (len(params) - 1) + [True]
+            ):
+                y = y @ w + b
+                fn = (self.transfer if (is_last and self.n_out is not None)
+                      else self.hidden_transfer)
+                if not (is_last and self.n_out is not None and self.transfer is None):
+                    y = fn(y) if fn is not None else y
+            return y
+
+        y = fused.fused_mlp(x, tuple(params), tuple(transfers))
+        if tail is not None:
+            y = tail(y)
+        return y
 
 
 class Encoder(nn.Module):

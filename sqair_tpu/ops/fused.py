@@ -1,0 +1,192 @@
+"""Fused multi-layer perceptron kernels (Pallas TPU).
+
+The SQAIR hot loop is ~60 *sequential* tiny cell evaluations per training
+step (T timesteps x 2S slots); at [160, <=2500] x [<=2500, 256] sizes every
+matmul is launch-overhead-bound, so the win is kernel COUNT, not FLOPs.
+``fused_mlp`` runs an entire MLP stack (every layer + activation) as ONE
+Pallas kernel, with a custom VJP whose backward is also one kernel.  All
+weights and activations of a stack fit comfortably in VMEM (< 6 MB).
+
+Activation derivatives are recovered from post-activations (elu': a+1 for
+a<=0 else 1; sigmoid': s(1-s); tanh': 1-t^2), so the forward saves only the
+layer outputs.
+
+Replaces the per-layer Dense kernels of the reference's MLP
+(sqair/neural.py:111-116) on TPU; a pure-jnp path with identical math backs
+CPU runs and the virtual-device mesh tests.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]  # ((W, b), ...)
+
+_ACTS = ("id", "elu", "sigmoid", "tanh")
+
+
+def _apply_act(z, act: str):
+    if act == "elu":
+        # jax.nn.elu uses expm1, which Pallas TPU cannot lower; exp(z)-1 on
+        # the negative branch is equivalent (z<=0 keeps exp well-behaved)
+        return jnp.where(z > 0, z, jnp.exp(jnp.minimum(z, 0.0)) - 1.0)
+    if act == "sigmoid":
+        return jax.nn.sigmoid(z)
+    if act == "tanh":
+        return jnp.tanh(z)
+    return z
+
+
+def _act_grad_from_output(a, act: str):
+    """d act(z) / dz expressed via the post-activation a."""
+    if act == "elu":
+        return jnp.where(a > 0, 1.0, a + 1.0)
+    if act == "sigmoid":
+        return a * (1.0 - a)
+    if act == "tanh":
+        return 1.0 - a * a
+    return jnp.ones_like(a)
+
+
+def use_pallas() -> bool:
+    """Pallas path only on real TPU backends (not CPU/virtual meshes)."""
+    if os.environ.get("SQAIR_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+# --------------------------------------------------------------- reference
+def mlp_reference(x: jnp.ndarray, params: Params,
+                  transfers: Sequence[str]) -> jnp.ndarray:
+    for (w, b), act in zip(params, transfers):
+        x = _apply_act(x @ w + b, act)
+    return x
+
+
+# ------------------------------------------------------------------ pallas
+def _fwd_kernel(transfers, x_ref, *refs):
+    n = len(transfers)
+    w_refs, b_refs = refs[:n], refs[n : 2 * n]
+    out_refs = refs[2 * n :]  # one per layer (post-activation)
+    a = x_ref[...]
+    for i, act in enumerate(transfers):
+        z = (
+            jnp.dot(a, w_refs[i][...], preferred_element_type=jnp.float32)
+            + b_refs[i][...][None, :]
+        )
+        a = _apply_act(z, act)
+        out_refs[i][...] = a
+
+
+def _bwd_kernel(transfers, x_ref, *refs):
+    n = len(transfers)
+    w_refs = refs[:n]
+    a_refs = refs[n : 2 * n]  # saved post-activations
+    g_ref = refs[2 * n]  # dL/d out
+    dx_ref = refs[2 * n + 1]
+    dw_refs = refs[2 * n + 2 : 2 * n + 2 + n]
+    db_refs = refs[2 * n + 2 + n :]
+
+    g = g_ref[...]
+    for i in range(n - 1, -1, -1):
+        a_i = a_refs[i][...]
+        dz = g * _act_grad_from_output(a_i, transfers[i])
+        a_prev = x_ref[...] if i == 0 else a_refs[i - 1][...]
+        dw_refs[i][...] = jnp.dot(
+            a_prev.T, dz, preferred_element_type=jnp.float32
+        )
+        db_refs[i][...] = jnp.sum(dz, axis=0)
+        g = jnp.dot(dz, w_refs[i][...].T, preferred_element_type=jnp.float32)
+    dx_ref[...] = g
+
+
+def _pallas_forward(x, params, transfers):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = x.shape[0]
+    outs = [
+        jax.ShapeDtypeStruct((B, w.shape[1]), jnp.float32) for w, _ in params
+    ]
+    n = len(params)
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    acts = pl.pallas_call(
+        functools.partial(_fwd_kernel, tuple(transfers)),
+        out_shape=outs,
+        in_specs=[spec] * (1 + 2 * n),
+        out_specs=[spec] * n,
+    )(x, *[w for w, _ in params], *[b for _, b in params])
+    return acts
+
+
+def _pallas_backward(x, params, transfers, acts, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = len(params)
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shapes = (
+        [jax.ShapeDtypeStruct(x.shape, jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w, _ in params]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for _, b in params]
+    )
+    res = pl.pallas_call(
+        functools.partial(_bwd_kernel, tuple(transfers)),
+        out_shape=out_shapes,
+        in_specs=[spec] * (1 + 2 * n + 1),
+        out_specs=[spec] * (1 + 2 * n),
+    )(x, *[w for w, _ in params], *acts, g)
+    dx = res[0]
+    dws = res[1 : 1 + n]
+    dbs = res[1 + n :]
+    dparams = tuple((dw, db) for dw, db in zip(dws, dbs))
+    return dx, dparams
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fused_mlp_2d(x, params, transfers):
+    acts = _pallas_forward(x, params, transfers)
+    return acts[-1]
+
+
+def _fused_fwd(x, params, transfers):
+    acts = _pallas_forward(x, params, transfers)
+    return acts[-1], (x, params, tuple(acts))
+
+
+def _fused_bwd(transfers, saved, g):
+    x, params, acts = saved
+    dx, dparams = _pallas_backward(x, params, transfers, acts, g)
+    return dx, dparams
+
+
+_fused_mlp_2d.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_mlp(x: jnp.ndarray, params: Params,
+              transfers: Sequence[str]) -> jnp.ndarray:
+    """Runs act_n(...act_1(x W_1 + b_1)...W_n + b_n) as one TPU kernel.
+
+    :param x: [..., d_in] (leading dims flattened internally)
+    :param params: ((W [d_i, d_{i+1}], b [d_{i+1}]), ...)
+    :param transfers: activation per layer, from {"id","elu","sigmoid","tanh"}
+    """
+    transfers = tuple(transfers)
+    assert len(transfers) == len(params)
+    for t in transfers:
+        if t not in _ACTS:
+            raise ValueError(f"unknown transfer '{t}'")
+    if not use_pallas():
+        return mlp_reference(x, params, transfers)
+
+    lead = x.shape[:-1]
+    x2 = x.reshape((-1, x.shape[-1]))
+    out = _fused_mlp_2d(x2, tuple(params), transfers)
+    return out.reshape(lead + (out.shape[-1],))

@@ -128,6 +128,25 @@ def extract_glimpse(img: jnp.ndarray, coords: jnp.ndarray,
     return out
 
 
+def paste_matrices(coords: jnp.ndarray, glimpse_size: Sequence[int],
+                   img_size: Sequence[int]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Interpolation matrices of the inverse-ST paste.
+
+    :param coords: [..., 4] forward-crop ST coords
+    :return: (uy [..., H, gh], ux [..., W, gw]) such that
+        paste = uy @ glimpse @ ux^T.  Exposed separately so callers can
+        share the matrices between the glimpse paste and the written-to
+        mask: pasting a glimpse of ones factorises into the rank-1 outer
+        product of the row sums, ones_paste = uy.sum(-1) ⊗ ux.sum(-1).
+    """
+    gh, gw = glimpse_size
+    H, W = img_size
+    sx, sy, tx, ty = _split_coords(coords)
+    uy = _interp_matrix(1.0 / sy, -ty / sy, gh, H)
+    ux = _interp_matrix(1.0 / sx, -tx / sx, gw, W)
+    return uy, ux
+
+
 def paste_glimpse(glimpse: jnp.ndarray, coords: jnp.ndarray,
                   img_size: Sequence[int]) -> jnp.ndarray:
     """Pastes a glimpse into a zero canvas (inverse ST).

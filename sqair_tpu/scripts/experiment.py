@@ -65,6 +65,9 @@ flags.DEFINE_float("learning_rate", 1e-5, "Initial learning rate.")
 flags.DEFINE_float("l2", 0.0, "L2 regularisation weight.")
 flags.DEFINE_string("schedule", "4,6,10", "Piecewise-constant lr schedule.")
 
+flags.DEFINE_integer("profile_itr", 0,
+                     "If > 0, capture a jax.profiler device trace of a few "
+                     "steps at this iteration (written to <logdir>/profile).")
 flags.DEFINE_boolean("test_run", False, "Tiny smoke-test preset.")
 flags.DEFINE_string("gpu", "0", "Unused (TPU build); kept for CLI parity.")
 flags.DEFINE_boolean("debug", False, "Extra logging.")
@@ -220,6 +223,18 @@ def main(argv=None):
             save_checkpoint(logdir, train_itr, state.as_dict())
         if train_itr % F.fig_itr == 0:
             try_plot(train_itr)
+        if F.profile_itr and train_itr == F.profile_itr:
+            # capture 3 steps; the trace opens in tensorboard's profile tab
+            trace_dir = osp.join(logdir, "profile")
+            with jax.profiler.trace(trace_dir):
+                for k in range(3):
+                    state.params, state.opt_state, metrics = train_step(
+                        state.params, state.opt_state,
+                        jax.random.fold_in(rng, train_itr * 131 + k),
+                        batch["imgs"], batch["nums"],
+                    )
+                jax.block_until_ready(metrics["target"])
+            print(f"profiler trace written to {trace_dir}")
 
     save_checkpoint(logdir, train_itr, state.as_dict())
     try_plot(train_itr)

@@ -2,6 +2,7 @@ from .checkpoint import (
     find_checkpoints,
     latest_checkpoint,
     restore_checkpoint,
+    restore_params,
     save_checkpoint,
 )
 from .train import (

@@ -49,3 +49,18 @@ def restore_checkpoint(path: str, example_state: Dict[str, Any]) -> Dict[str, An
     """Restores into the structure of ``example_state``."""
     ckpt = ocp.StandardCheckpointer()
     return ckpt.restore(os.path.abspath(path), target=example_state)
+
+
+def restore_params(path: str, example_params) -> Any:
+    """Restores only the ``params`` subtree (evaluation/exploration use —
+    tolerant of optimizer-state mismatches between save and restore time)."""
+    ckpt = ocp.PyTreeCheckpointer()
+    restored = ckpt.restore(os.path.abspath(path))
+    params = restored["params"]
+
+    def fit(example, got):
+        arr = np.asarray(got)
+        assert arr.shape == tuple(np.shape(example)), (arr.shape, np.shape(example))
+        return jax.numpy.asarray(arr, dtype=np.asarray(example).dtype)
+
+    return jax.tree_util.tree_map(fit, example_params, params)

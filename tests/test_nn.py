@@ -24,14 +24,14 @@ class TestMLP:
         out = m.apply(params, jnp.ones((2, 10)))
         assert out.shape == (2, 8)
         layers = list(params["params"].keys())
-        assert len(layers) == 3  # two hidden + one output
+        assert len(layers) == 6  # (w, b) per layer: two hidden + one output
 
     def test_output_bias_init(self, rng):
         from sqair_tpu.nn import const_init
 
         m = MLP(n_hiddens=[4], n_out=1, output_bias_init=const_init(5.0))
         params = m.init(rng, jnp.ones((1, 3)))
-        b = params["params"]["Dense_1"]["bias"]
+        b = params["params"]["b_1"]
         np.testing.assert_allclose(b, 5.0)
 
 
