@@ -53,7 +53,7 @@ def main():
     rng = jax.random.PRNGKey(0)
     batch = gen_fn(rng)
     state = init_train(model, optimizer, rng, batch["imgs"])
-    step = make_train_step(model, optimizer, donate=False)
+    step = make_train_step(model, optimizer, donate=True)
 
     params, opt_state = state.params, state.opt_state
     for i in range(WARMUP):
