@@ -146,18 +146,25 @@ class Decoder(nn.Module):
 
 
 class VanillaRNN(nn.Module):
-    """h' = tanh(W x + U h + b) (sonnet snt.VanillaRNN)."""
+    """h' = tanh(W x + U h + b) (sonnet snt.VanillaRNN).
+
+    Runs as one fused Pallas kernel on TPU (ops/fused.py)."""
 
     units: int
 
     def setup(self):
-        self._in = nn.Dense(self.units, name="in_to_hidden")
-        self._hid = nn.Dense(self.units, use_bias=False, name="hidden_to_hidden")
         self._h0 = self.param("h0", nn.initializers.zeros_init(), (1, self.units))
 
+    @nn.compact
     def __call__(self, state: State, x) -> Tuple[State, jnp.ndarray]:
+        from ..ops import fused
+
         (h,) = state
-        new_h = jnp.tanh(self._in(x) + self._hid(h))
+        init = nn.initializers.lecun_normal()
+        w = self.param("in_to_hidden_w", init, (x.shape[-1], self.units))
+        b = self.param("in_to_hidden_b", nn.initializers.zeros_init(), (self.units,))
+        u = self.param("hidden_to_hidden_w", init, (self.units, self.units))
+        new_h = fused.fused_vanilla_rnn(x, h, w, u, b)
         return (new_h,), new_h
 
     def initial_state(self, batch_size: int, trainable: bool = True) -> State:
@@ -174,22 +181,29 @@ class VanillaRNN(nn.Module):
 
 
 class GRU(nn.Module):
-    """Standard GRU (sonnet snt.GRU)."""
+    """Standard GRU (sonnet snt.GRU).
+
+    Runs as one fused Pallas kernel on TPU (ops/fused.py)."""
 
     units: int
 
     def setup(self):
-        self._gates = nn.Dense(2 * self.units, name="gates")
-        self._cand_x = nn.Dense(self.units, name="candidate_x")
-        self._cand_h = nn.Dense(self.units, use_bias=False, name="candidate_h")
         self._h0 = self.param("h0", nn.initializers.zeros_init(), (1, self.units))
 
+    @nn.compact
     def __call__(self, state: State, x) -> Tuple[State, jnp.ndarray]:
+        from ..ops import fused
+
         (h,) = state
-        zr = jax.nn.sigmoid(self._gates(jnp.concatenate([x, h], -1)))
-        z, r = jnp.split(zr, 2, -1)
-        cand = jnp.tanh(self._cand_x(x) + self._cand_h(r * h))
-        new_h = (1.0 - z) * h + z * cand
+        init = nn.initializers.lecun_normal()
+        u_dim = self.units
+        wg = self.param("gates_xw", init, (x.shape[-1], 2 * u_dim))
+        ug = self.param("gates_hw", init, (u_dim, 2 * u_dim))
+        bg = self.param("gates_b", nn.initializers.zeros_init(), (2 * u_dim,))
+        wc = self.param("candidate_xw", init, (x.shape[-1], u_dim))
+        uc = self.param("candidate_hw", init, (u_dim, u_dim))
+        bc = self.param("candidate_b", nn.initializers.zeros_init(), (u_dim,))
+        new_h = fused.fused_gru(x, h, wg, ug, bg, wc, uc, bc)
         return (new_h,), new_h
 
     def initial_state(self, batch_size: int, trainable: bool = True) -> State:

@@ -170,6 +170,194 @@ def _fused_bwd(transfers, saved, g):
 _fused_mlp_2d.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ------------------------------------------------------------- RNN cells
+def _vrnn_fwd_kernel(x_ref, h_ref, w_ref, u_ref, b_ref, out_ref):
+    z = (
+        jnp.dot(x_ref[...], w_ref[...], preferred_element_type=jnp.float32)
+        + jnp.dot(h_ref[...], u_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[...][None, :]
+    )
+    out_ref[...] = jnp.tanh(z)
+
+
+def _vrnn_bwd_kernel(x_ref, h_ref, w_ref, u_ref, hn_ref, g_ref,
+                     dx_ref, dh_ref, dw_ref, du_ref, db_ref):
+    hn = hn_ref[...]
+    dz = g_ref[...] * (1.0 - hn * hn)
+    dx_ref[...] = jnp.dot(dz, w_ref[...].T, preferred_element_type=jnp.float32)
+    dh_ref[...] = jnp.dot(dz, u_ref[...].T, preferred_element_type=jnp.float32)
+    dw_ref[...] = jnp.dot(x_ref[...].T, dz, preferred_element_type=jnp.float32)
+    du_ref[...] = jnp.dot(h_ref[...].T, dz, preferred_element_type=jnp.float32)
+    db_ref[...] = jnp.sum(dz, axis=0)
+
+
+@jax.custom_vjp
+def _fused_vrnn(x, h, w, u, b):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _vrnn_fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct(h.shape, jnp.float32),
+        in_specs=[spec] * 5, out_specs=spec,
+    )(x, h, w, u, b)
+
+
+def _fused_vrnn_fwd(x, h, w, u, b):
+    hn = _fused_vrnn(x, h, w, u, b)
+    return hn, (x, h, w, u, hn)
+
+
+def _fused_vrnn_bwd(saved, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x, h, w, u, hn = saved
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
+            for a in (x, h, w, u)] + [
+        jax.ShapeDtypeStruct((w.shape[1],), jnp.float32)
+    ]
+    dx, dh, dw, du, db = pl.pallas_call(
+        _vrnn_bwd_kernel, out_shape=outs,
+        in_specs=[spec] * 6, out_specs=[spec] * 5,
+    )(x, h, w, u, hn, g)
+    return dx, dh, dw, du, db
+
+
+_fused_vrnn.defvjp(_fused_vrnn_fwd, _fused_vrnn_bwd)
+
+
+def fused_vanilla_rnn(x, h, w, u, b):
+    """h' = tanh(x W + h U + b) as one fwd kernel + one bwd kernel."""
+    if not use_pallas():
+        return jnp.tanh(x @ w + h @ u + b)
+    return _fused_vrnn(x, h, w, u, b)
+
+
+def _gru_fwd_kernel(x_ref, h_ref, wg_ref, ug_ref, bg_ref, wc_ref, uc_ref,
+                    bc_ref, hn_ref, zr_ref, c_ref):
+    x, h = x_ref[...], h_ref[...]
+    a = (
+        jnp.dot(x, wg_ref[...], preferred_element_type=jnp.float32)
+        + jnp.dot(h, ug_ref[...], preferred_element_type=jnp.float32)
+        + bg_ref[...][None, :]
+    )
+    zr = jax.nn.sigmoid(a)
+    u_dim = h.shape[-1]
+    z, r = zr[:, :u_dim], zr[:, u_dim:]
+    c = jnp.tanh(
+        jnp.dot(x, wc_ref[...], preferred_element_type=jnp.float32)
+        + jnp.dot(r * h, uc_ref[...], preferred_element_type=jnp.float32)
+        + bc_ref[...][None, :]
+    )
+    hn_ref[...] = (1.0 - z) * h + z * c
+    zr_ref[...] = zr
+    c_ref[...] = c
+
+
+def _gru_bwd_kernel(x_ref, h_ref, wg_ref, ug_ref, wc_ref, uc_ref, zr_ref,
+                    c_ref, g_ref,
+                    dx_ref, dh_ref, dwg_ref, dug_ref, dbg_ref, dwc_ref,
+                    duc_ref, dbc_ref):
+    x, h, g = x_ref[...], h_ref[...], g_ref[...]
+    zr, c = zr_ref[...], c_ref[...]
+    u_dim = h.shape[-1]
+    z, r = zr[:, :u_dim], zr[:, u_dim:]
+
+    dz = g * (c - h)
+    dc_in = (g * z) * (1.0 - c * c)
+    drh = jnp.dot(dc_in, uc_ref[...].T, preferred_element_type=jnp.float32)
+    dr = drh * h
+    da = jnp.concatenate([dz, dr], axis=-1) * zr * (1.0 - zr)
+
+    dwc_ref[...] = jnp.dot(x.T, dc_in, preferred_element_type=jnp.float32)
+    duc_ref[...] = jnp.dot((r * h).T, dc_in, preferred_element_type=jnp.float32)
+    dbc_ref[...] = jnp.sum(dc_in, axis=0)
+    dwg_ref[...] = jnp.dot(x.T, da, preferred_element_type=jnp.float32)
+    dug_ref[...] = jnp.dot(h.T, da, preferred_element_type=jnp.float32)
+    dbg_ref[...] = jnp.sum(da, axis=0)
+    dx_ref[...] = (
+        jnp.dot(dc_in, wc_ref[...].T, preferred_element_type=jnp.float32)
+        + jnp.dot(da, wg_ref[...].T, preferred_element_type=jnp.float32)
+    )
+    dh_ref[...] = (
+        g * (1.0 - z) + drh * r
+        + jnp.dot(da, ug_ref[...].T, preferred_element_type=jnp.float32)
+    )
+
+
+@jax.custom_vjp
+def _fused_gru(x, h, wg, ug, bg, wc, uc, bc):
+    hn, _, _ = _fused_gru_call(x, h, wg, ug, bg, wc, uc, bc)
+    return hn
+
+
+def _fused_gru_call(x, h, wg, ug, bg, wc, uc, bc):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    B, u_dim = h.shape
+    outs = [
+        jax.ShapeDtypeStruct((B, u_dim), jnp.float32),
+        jax.ShapeDtypeStruct((B, 2 * u_dim), jnp.float32),
+        jax.ShapeDtypeStruct((B, u_dim), jnp.float32),
+    ]
+    return pl.pallas_call(
+        _gru_fwd_kernel, out_shape=outs,
+        in_specs=[spec] * 8, out_specs=[spec] * 3,
+    )(x, h, wg, ug, bg, wc, uc, bc)
+
+
+def _fused_gru_fwd(x, h, wg, ug, bg, wc, uc, bc):
+    hn, zr, c = _fused_gru_call(x, h, wg, ug, bg, wc, uc, bc)
+    return hn, (x, h, wg, ug, wc, uc, zr, c)
+
+
+def _fused_gru_bwd(saved, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x, h, wg, ug, wc, uc, zr, c = saved
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = [
+        jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        jax.ShapeDtypeStruct(h.shape, jnp.float32),
+        jax.ShapeDtypeStruct(wg.shape, jnp.float32),
+        jax.ShapeDtypeStruct(ug.shape, jnp.float32),
+        jax.ShapeDtypeStruct((wg.shape[1],), jnp.float32),
+        jax.ShapeDtypeStruct(wc.shape, jnp.float32),
+        jax.ShapeDtypeStruct(uc.shape, jnp.float32),
+        jax.ShapeDtypeStruct((wc.shape[1],), jnp.float32),
+    ]
+    return tuple(
+        pl.pallas_call(
+            _gru_bwd_kernel, out_shape=outs,
+            in_specs=[spec] * 9, out_specs=[spec] * 8,
+        )(x, h, wg, ug, wc, uc, zr, c, g)
+    )
+
+
+_fused_gru.defvjp(_fused_gru_fwd, _fused_gru_bwd)
+
+
+def fused_gru(x, h, wg, ug, bg, wc, uc, bc):
+    """Full GRU step as one fwd kernel + one bwd kernel.
+
+    zr = sigmoid(x Wg + h Ug + bg); z, r = split(zr)
+    c  = tanh(x Wc + (r*h) Uc + bc); h' = (1-z) h + z c
+    """
+    if not use_pallas():
+        zr = jax.nn.sigmoid(x @ wg + h @ ug + bg)
+        u_dim = h.shape[-1]
+        z, r = zr[..., :u_dim], zr[..., u_dim:]
+        c = jnp.tanh(x @ wc + (r * h) @ uc + bc)
+        return (1.0 - z) * h + z * c
+    return _fused_gru(x, h, wg, ug, bg, wc, uc, bc)
+
+
 def fused_mlp(x: jnp.ndarray, params: Params,
               transfers: Sequence[str]) -> jnp.ndarray:
     """Runs act_n(...act_1(x W_1 + b_1)...W_n + b_n) as one TPU kernel.

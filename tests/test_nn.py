@@ -62,7 +62,7 @@ class TestCells:
         params = cell.init(rng, x, h, method=run)
         (new_h,), out = cell.apply(params, x, h, method=run)
         p = params["params"]
-        want = np.tanh(np.ones((1, 3)) @ p["in_to_hidden"]["kernel"] + p["in_to_hidden"]["bias"])
+        want = np.tanh(np.ones((1, 3)) @ p["in_to_hidden_w"] + p["in_to_hidden_b"])
         np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5)
 
     def test_gru_gate_interpolation(self, rng):
