@@ -143,7 +143,26 @@ def main(argv=None):
         state.opt_state = restored["opt_state"]
         state.step = int(restored["step"])
 
-    train_step = make_train_step(model, optimizer, F.l2, donate=False)
+    n_devices = jax.local_device_count()
+    use_dp = F.data_parallel and n_devices > 1 and F.batch_size % n_devices == 0
+    if use_dp:
+        from sqair_tpu.parallel import make_mesh, make_parallel_train_step, shard_batch
+
+        mesh = make_mesh()
+        print(f"data-parallel over {n_devices} devices")
+        train_step = make_parallel_train_step(model, optimizer, mesh, l2_weight=F.l2,
+                                              donate=False)
+
+        def shard(b):
+            # only the tensors the train step consumes are [T, B, ...]
+            sharded = shard_batch({"imgs": b["imgs"], "nums": b["nums"]}, mesh)
+            return {**b, **sharded}
+    else:
+        train_step = make_train_step(model, optimizer, F.l2, donate=False,
+                                     grad_summaries=F.debug)
+
+        def shard(b):
+            return b
     from sqair_tpu.training import make_eval_step
 
     eval_step = make_eval_step(model)
@@ -193,7 +212,7 @@ def main(argv=None):
     t0 = time.time()
     frames_done = 0
     while train_itr < F.train_itr:
-        batch = truncate_batch(next(data_dict["train_iter"]), stage_len(train_itr))
+        batch = shard(truncate_batch(next(data_dict["train_iter"]), stage_len(train_itr)))
         state.params, state.opt_state, metrics = train_step(
             state.params, state.opt_state, jax.random.fold_in(rng, train_itr),
             batch["imgs"], batch["nums"],

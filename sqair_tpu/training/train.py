@@ -64,8 +64,30 @@ class TrainState:
                     step=jnp.asarray(self.step))
 
 
+def gradient_summaries(grads, updates, params) -> dict:
+    """Gradient/update diagnostics (reference eval_tools.py:374-452).
+
+    Global grad norm, per-top-level-module grad norms, and the
+    update-to-weight norm ratio the reference tracks for lr tuning.
+    """
+    def gnorm(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return jnp.sqrt(sum(jnp.sum(l * l) for l in leaves))
+
+    out = {"grads/global_norm": gnorm(grads),
+           "grads/update_norm": gnorm(updates)}
+    pnorm = gnorm(params)
+    out["grads/update_to_weight_ratio"] = out["grads/update_norm"] / (pnorm + 1e-12)
+    for top, sub in grads.items():
+        if isinstance(sub, dict):
+            for name, leaf_tree in sub.items():
+                out[f"grads/norm/{top}.{name}"] = gnorm(leaf_tree)
+    return out
+
+
 def make_train_step(model: Model, optimizer: optax.GradientTransformation,
-                    l2_weight: float = 0.0, donate: bool = True) -> Callable:
+                    l2_weight: float = 0.0, donate: bool = True,
+                    grad_summaries: bool = False) -> Callable:
     """Builds the jitted (params, opt_state, rng, obs, nums) -> update fn."""
 
     def loss_fn(params, rng, obs, nums):
@@ -78,6 +100,8 @@ def make_train_step(model: Model, optimizer: optax.GradientTransformation,
             params, rng, obs, nums
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        if grad_summaries:
+            metrics = dict(metrics, **gradient_summaries(grads, updates, params))
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
