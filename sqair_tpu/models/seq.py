@@ -208,8 +208,10 @@ class SequentialAIR:
         if self.remat == "full":
             step = jax.checkpoint(step)
         elif self.remat == "dots":
-            step = jax.checkpoint(
-                step, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            policy = jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                jax.checkpoint_policies.save_only_these_names("fused_out"),
             )
+            step = jax.checkpoint(step, policy=policy)
         _, outputs = jax.lax.scan(step, carry0, (ts, obs, step_rngs))
         return outputs

@@ -233,7 +233,8 @@ def fused_vanilla_rnn(x, h, w, u, b):
     """h' = tanh(x W + h U + b) as one fwd kernel + one bwd kernel."""
     if not use_pallas():
         return jnp.tanh(x @ w + h @ u + b)
-    return _fused_vrnn(x, h, w, u, b)
+    return jax.ad_checkpoint.checkpoint_name(_fused_vrnn(x, h, w, u, b),
+                                             "fused_out")
 
 
 def _gru_fwd_kernel(x_ref, h_ref, wg_ref, ug_ref, bg_ref, wc_ref, uc_ref,
@@ -355,7 +356,8 @@ def fused_gru(x, h, wg, ug, bg, wc, uc, bc):
         z, r = zr[..., :u_dim], zr[..., u_dim:]
         c = jnp.tanh(x @ wc + (r * h) @ uc + bc)
         return (1.0 - z) * h + z * c
-    return _fused_gru(x, h, wg, ug, bg, wc, uc, bc)
+    return jax.ad_checkpoint.checkpoint_name(
+        _fused_gru(x, h, wg, ug, bg, wc, uc, bc), "fused_out")
 
 
 def fused_mlp(x: jnp.ndarray, params: Params,
@@ -377,4 +379,7 @@ def fused_mlp(x: jnp.ndarray, params: Params,
     lead = x.shape[:-1]
     x2 = x.reshape((-1, x.shape[-1]))
     out = _fused_mlp_2d(x2, tuple(params), transfers)
+    # make the fused output saveable under jax.checkpoint name policies —
+    # the dots policy can't see matmuls hidden inside the custom_vjp
+    out = jax.ad_checkpoint.checkpoint_name(out, "fused_out")
     return out.reshape(lead + (out.shape[-1],))
