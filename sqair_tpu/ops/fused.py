@@ -23,6 +23,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 Params = Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]  # ((W, b), ...)
 
@@ -233,8 +234,7 @@ def fused_vanilla_rnn(x, h, w, u, b):
     """h' = tanh(x W + h U + b) as one fwd kernel + one bwd kernel."""
     if not use_pallas():
         return jnp.tanh(x @ w + h @ u + b)
-    return jax.ad_checkpoint.checkpoint_name(_fused_vrnn(x, h, w, u, b),
-                                             "fused_out")
+    return _checkpoint_name(_fused_vrnn(x, h, w, u, b), "fused_out")
 
 
 def _gru_fwd_kernel(x_ref, h_ref, wg_ref, ug_ref, bg_ref, wc_ref, uc_ref,
@@ -356,7 +356,7 @@ def fused_gru(x, h, wg, ug, bg, wc, uc, bc):
         z, r = zr[..., :u_dim], zr[..., u_dim:]
         c = jnp.tanh(x @ wc + (r * h) @ uc + bc)
         return (1.0 - z) * h + z * c
-    return jax.ad_checkpoint.checkpoint_name(
+    return _checkpoint_name(
         _fused_gru(x, h, wg, ug, bg, wc, uc, bc), "fused_out")
 
 
@@ -381,5 +381,5 @@ def fused_mlp(x: jnp.ndarray, params: Params,
     out = _fused_mlp_2d(x2, tuple(params), transfers)
     # make the fused output saveable under jax.checkpoint name policies —
     # the dots policy can't see matmuls hidden inside the custom_vjp
-    out = jax.ad_checkpoint.checkpoint_name(out, "fused_out")
+    out = _checkpoint_name(out, "fused_out")
     return out.reshape(lead + (out.shape[-1],))
