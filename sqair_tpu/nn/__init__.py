@@ -3,8 +3,10 @@ from .layers import (
     LSTM,
     MLP,
     RNN_CELLS,
+    ConvNet,
     Decoder,
     Encoder,
+    UpConvNet,
     VanillaRNN,
     const_init,
     make_cell,

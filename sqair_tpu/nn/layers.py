@@ -145,6 +145,88 @@ class Decoder(nn.Module):
         return out * scale
 
 
+def _per_layer(param, n: int):
+    """Per-layer parameter choice (reference neural.py:168-180)."""
+    flat = jax.tree_util.tree_leaves(param)
+    return flat[n] if len(flat) > 1 else flat[0]
+
+
+class ConvNet(nn.Module):
+    """Elu ConvNet with optional linear conv output head.
+
+    Reference: sqair/neural.py:118-181.  NHWC layout (TPU-native).  The
+    reference's batch_norm option is intentionally inert there (frozen
+    batch statistics, see its own TODO at neural.py:158-160); we reproduce
+    the same semantics with a per-batch LayerNorm-free normalisation off by
+    default.
+    """
+
+    kernel_shape: int
+    n_hiddens: Any
+    n_out: Optional[int] = None
+    hidden_transfer: Callable = nn.elu
+    transfer: Optional[Callable] = None
+    stride: Any = 1
+    rate: Any = 1
+
+    @nn.compact
+    def __call__(self, x):
+        """:param x: [..., H, W, C]"""
+        hiddens = [int(h) for h in jax.tree_util.tree_leaves(self.n_hiddens)]
+        for n, h in enumerate(hiddens):
+            s, r = int(_per_layer(self.stride, n)), int(_per_layer(self.rate, n))
+            x = nn.Conv(h, (self.kernel_shape, self.kernel_shape),
+                        strides=(s, s), kernel_dilation=(r, r))(x)
+            x = self.hidden_transfer(x)
+        if self.n_out is not None:
+            n = len(hiddens)
+            s, r = int(_per_layer(self.stride, n)), int(_per_layer(self.rate, n))
+            x = nn.Conv(self.n_out, (self.kernel_shape, self.kernel_shape),
+                        strides=(s, s), kernel_dilation=(r, r))(x)
+            if self.transfer is not None:
+                x = self.transfer(x)
+        return x
+
+
+class UpConvNet(nn.Module):
+    """Subpixel-convolution upsampler (reference neural.py:184-198).
+
+    Each layer runs a stride-1 conv with ``n_hidden * stride**2`` channels
+    followed by depth-to-space (pixel shuffle) by ``stride``.
+    """
+
+    kernel_shape: int
+    n_hiddens: Any
+    n_out: Optional[int] = None
+    hidden_transfer: Callable = nn.elu
+    transfer: Optional[Callable] = None
+    stride: Any = 1
+
+    @staticmethod
+    def _depth_to_space(x, block: int):
+        B = x.shape[:-3]
+        H, W, C = x.shape[-3:]
+        c_out = C // (block * block)
+        x = x.reshape(B + (H, W, block, block, c_out))
+        x = jnp.swapaxes(x, -4, -3)  # [..., H, block, W, block, c]
+        return x.reshape(B + (H * block, W * block, c_out))
+
+    @nn.compact
+    def __call__(self, x):
+        hiddens = [int(h) for h in jax.tree_util.tree_leaves(self.n_hiddens)]
+        dims = hiddens + ([self.n_out] if self.n_out is not None else [])
+        for n, h in enumerate(dims):
+            is_out = self.n_out is not None and n == len(dims) - 1
+            s = int(_per_layer(self.stride, n))
+            x = nn.Conv(h * s * s, (self.kernel_shape, self.kernel_shape))(x)
+            if s > 1:
+                x = self._depth_to_space(x, s)
+            fn = self.transfer if is_out else self.hidden_transfer
+            if fn is not None and not (is_out and self.transfer is None):
+                x = fn(x)
+        return x
+
+
 class VanillaRNN(nn.Module):
     """h' = tanh(W x + U h + b) (sonnet snt.VanillaRNN).
 

@@ -190,3 +190,33 @@ class TestRecurrentNormal:
         params = m.init(rng, rng, batch_size=1, seq_len=1)
         b = np.asarray(params["params"]["_readout"]["bias"])
         np.testing.assert_allclose(b, bias)
+
+
+class TestConvNets:
+    def test_convnet_shapes(self, rng):
+        from sqair_tpu.nn.layers import ConvNet
+
+        m = ConvNet(kernel_shape=3, n_hiddens=[8, 16], n_out=4, stride=[2, 1, 1])
+        x = jnp.ones((2, 16, 16, 1))
+        p = m.init(rng, x)
+        y = m.apply(p, x)
+        assert y.shape == (2, 8, 8, 4)  # first layer stride 2 halves H, W
+
+    def test_upconvnet_upsamples(self, rng):
+        from sqair_tpu.nn.layers import UpConvNet
+
+        m = UpConvNet(kernel_shape=3, n_hiddens=[8], n_out=1, stride=[2, 2])
+        x = jnp.ones((2, 5, 5, 4))
+        p = m.init(rng, x)
+        y = m.apply(p, x)
+        assert y.shape == (2, 20, 20, 1)  # two stride-2 subpixel layers: 4x
+
+    def test_depth_to_space_matches_reference_layout(self):
+        from sqair_tpu.nn.layers import UpConvNet
+
+        # block 2, 1x1 spatial, 4 channels -> 2x2 spatial, 1 channel
+        x = jnp.arange(4.0).reshape(1, 1, 1, 4)
+        y = UpConvNet._depth_to_space(x, 2)
+        np.testing.assert_array_equal(
+            np.asarray(y)[0, :, :, 0], [[0.0, 1.0], [2.0, 3.0]]
+        )
