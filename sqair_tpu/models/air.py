@@ -87,11 +87,19 @@ class AIRDecoder(nn.Module):
     learn_bg_std: bool = False
     min_std: float = 0.0
     bg_bigger_than_fg_std: bool = False
+    decoder_type: str = "mlp"  # "mlp" | "subpixel"
 
     def setup(self):
-        self._glimpse_decoder = Decoder(
-            self.glimpse_n_hiddens, self.glimpse_size, self.glimpse_output_scale
-        )
+        if self.decoder_type == "subpixel":
+            from ..nn.layers import SubpixelDecoder
+
+            self._glimpse_decoder = SubpixelDecoder(
+                [16, 16], self.glimpse_size, self.glimpse_output_scale
+            )
+        else:
+            self._glimpse_decoder = Decoder(
+                self.glimpse_n_hiddens, self.glimpse_size, self.glimpse_output_scale
+            )
         if self.mean_img is not None:
             mean = jnp.asarray(self.mean_img, jnp.float32)
             self._mean_img = self.param("mean_img", lambda key, s: mean, mean.shape)

@@ -48,18 +48,34 @@ class SQAIRTimestep(nn.Module):
     rec_where_prior: bool = True
     scale_prior: Sequence[float] = (-2.0, -2.0)
     masked_glimpse: bool = True
+    encoder_type: str = "mlp"  # "mlp" | "conv"
+    conv_channels: Sequence[int] = (32, 64)
+    conv_kernel: int = 3
 
     def setup(self):
         n_hiddens = [self.n_hidden] * self.n_layers
         steps_hidden = list(self.steps_pred_hidden or [self.n_hidden // 2])
 
         # shared encoders (mlp_mnist_model.py:89-93, 112-113)
-        self._input_encoder = Encoder(n_hiddens)
+        if self.encoder_type == "conv":
+            from ..nn.layers import ConvEncoder
+
+            self._input_encoder = ConvEncoder(
+                self.img_size, list(self.conv_channels),
+                n_features=self.n_hidden, kernel_shape=self.conv_kernel,
+            )
+            glimpse_enc = ConvEncoder(
+                self.glimpse_size, list(self.conv_channels),
+                n_features=self.n_hidden, kernel_shape=self.conv_kernel,
+            )
+        else:
+            self._input_encoder = Encoder(n_hiddens)
+            glimpse_enc = Encoder(n_hiddens)
         from .air import AIREncoder
 
         self._glimpse_encoder = AIREncoder(
             self.img_size, self.glimpse_size, self.n_what,
-            glimpse_encoder=Encoder(n_hiddens),
+            glimpse_encoder=glimpse_enc,
             masked_glimpse=self.masked_glimpse,
         )
 

@@ -227,6 +227,73 @@ class UpConvNet(nn.Module):
         return x
 
 
+class ConvEncoder(nn.Module):
+    """Conv feature extractor over flat image/glimpse vectors.
+
+    Drop-in replacement for ``Encoder`` wherever the framework passes a
+    flattened [..., h*w] input (DiscoveryCore.encode_img, AIREncoder):
+    reshapes to NHWC, runs the ConvNet, flattens, projects to n_features.
+    """
+
+    img_size: Sequence[int]  # (h, w) of the unflattened input
+    n_hiddens: Any  # conv channels per layer
+    n_features: int = 256
+    kernel_shape: int = 3
+    stride: Any = 2
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = self.img_size
+        lead = x.shape[:-1]
+        img = x.reshape((-1, h, w, 1))
+        feats = ConvNet(self.kernel_shape, self.n_hiddens,
+                        stride=self.stride)(img)
+        feats = feats.reshape((feats.shape[0], -1))
+        out = MLP([], n_out=self.n_features)(feats)
+        out = nn.elu(out)
+        return out.reshape(lead + (self.n_features,))
+
+
+class SubpixelDecoder(nn.Module):
+    """UpConvNet glimpse decoder: what -> feature map -> subpixel upsample.
+
+    Drop-in replacement for ``Decoder`` (MLP) in AIRDecoder; same output
+    contract [..., gh, gw] scaled by a learned scalar.
+    """
+
+    n_hiddens: Any  # conv channels per layer
+    output_size: Sequence[int]  # (gh, gw)
+    output_scale: float = 0.25
+    base_size: int = 5  # initial feature-map side
+    kernel_shape: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        gh, gw = self.output_size
+        assert gh % self.base_size == 0 and gw % self.base_size == 0, (
+            "glimpse size must be a multiple of base_size"
+        )
+        up = gh // self.base_size
+        # factor the total upsampling into stride-2 layers (+ remainder)
+        strides, rem = [], up
+        while rem % 2 == 0 and rem > 1:
+            strides.append(2)
+            rem //= 2
+        if rem > 1:
+            strides.append(rem)
+        hiddens = [int(h) for h in jax.tree_util.tree_leaves(self.n_hiddens)]
+        while len(strides) < len(hiddens) + 1:
+            strides.append(1)
+
+        lead = x.shape[:-1]
+        seed = MLP([], n_out=self.base_size * self.base_size * 16)(x)
+        seed = nn.elu(seed).reshape((-1, self.base_size, self.base_size, 16))
+        out = UpConvNet(self.kernel_shape, hiddens, n_out=1,
+                        stride=strides)(seed)
+        scale = self.param("output_scale", const_init(self.output_scale), ())
+        return out[..., 0].reshape(lead + (gh, gw)) * scale
+
+
 class VanillaRNN(nn.Module):
     """h' = tanh(W x + U h + b) (sonnet snt.VanillaRNN).
 

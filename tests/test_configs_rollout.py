@@ -99,3 +99,15 @@ class TestPedestrianConfig:
             "--model_config=sqair_tpu/configs/pedestrian_model.py",
         ])
         assert out["canvas"].shape[0] == 9
+
+
+class TestConvModelConfig:
+    def test_conv_rollout(self, tmp_path):
+        out = _run_rollout(str(tmp_path), [
+            "--synth_train_samples=8", "--synth_valid_samples=4",
+            "--synth_timesteps=3",
+            "--data_config=sqair_tpu/configs/synth_seq_mnist_data.py",
+            "--model_config=sqair_tpu/configs/conv_mnist_model.py",
+        ])
+        assert out["canvas"].shape == (4, 2, 50, 50)
+        assert np.isfinite(out["canvas"]).all()
