@@ -40,13 +40,54 @@ class AIREncoder(nn.Module):
                 output_bias_init=const_init(1.0),
             )
 
+    def _fused_param_tree(self):
+        """Raw weights for the fused Pallas path, or None if unsupported.
+
+        Only valid when bound post-init (params must already exist) and the
+        glimpse encoder is the standard 2-layer elu MLP Encoder.
+        """
+        try:
+            enc = self.glimpse_encoder.variables["params"]["MLP_0"]
+            if "w_2" in enc or "w_1" not in enc:
+                return None
+            enc_params = ((enc["w_0"], enc["b_0"]), (enc["w_1"], enc["b_1"]))
+            head = self._what_distrib.variables["params"]["Dense_0"]
+            mask_params = None
+            if self.masked_glimpse:
+                mp = self._mask_mlp.variables["params"]
+                mask_params = ((mp["w_0"], mp["b_0"]), (mp["w_1"], mp["b_1"]))
+            return enc_params, (head["kernel"], head["bias"]), mask_params
+        except (KeyError, AttributeError, ValueError):
+            return None
+
     def __call__(self, img, where=None, mask_inpt=None) -> Tuple[D.Normal, jnp.ndarray]:
         """:param img: [B, H, W]
         :param where: [B, 4] or [B, S, 4] where *logits*
         :param mask_inpt: optional features for the glimpse mask, [B, d] or
             broadcastable against the slot axis
-        :return: (what Normal over [..., n_what], glimpse [..., gh, gw])
+        :return: (what Normal over [..., n_what], glimpse [..., gh, gw];
+            glimpse is None on the fused TPU path — no caller consumes it)
         """
+        from ..ops import fused as _fused
+        from ..ops.fused_glimpse import fused_glimpse_encoder
+
+        if (
+            where is not None
+            and where.ndim == 2
+            and _fused.use_pallas()
+            and not self.is_initializing()
+            and self.scale_offset == 0.0
+        ):
+            tree = self._fused_param_tree()
+            if tree is not None:
+                enc_params, (head_w, head_b), mask_params = tree
+                mi = mask_inpt if (self.masked_glimpse and mask_inpt is not None) else None
+                loc, scale = fused_glimpse_encoder(
+                    img, where, mi, mask_params, enc_params, head_w, head_b,
+                    self.glimpse_size, self.n_what,
+                )
+                return D.Normal(loc, scale), None
+
         if where is not None:
             coords = stn.to_coords(where)
             if coords.ndim == 3:  # [B, S, 4]: broadcast img over slots

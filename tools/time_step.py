@@ -5,7 +5,10 @@ from sqair_tpu.training import init_train, make_optimizer, make_train_step
 T,B,K,S,H,G,NWHAT,NH = 10,32,5,3,50,20,50,256
 timestep = SQAIRTimestep(n_steps=S, img_size=(H,H), glimpse_size=(G,G), n_what=NWHAT, n_hidden=NH, steps_pred_hidden=[NH//2])
 decoder = AIRDecoder(img_size=(H,H), glimpse_size=(G,G), glimpse_n_hiddens=[NH,NH], mean_img=np.zeros((H,H),np.float32))
-model = Model(SequentialAIR(timestep, decoder), k_particles=K)
+import sys as _sys
+_remat = _sys.argv[1] if len(_sys.argv) > 1 else "dots"
+print("remat:", _remat)
+model = Model(SequentialAIR(timestep, decoder, remat=_remat), k_particles=K)
 optimizer = make_optimizer("rmsprop",1e-5)
 rng = jax.random.PRNGKey(0)
 obs = jax.random.uniform(jax.random.PRNGKey(1),(T,B,H,H))
