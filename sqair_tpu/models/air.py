@@ -71,8 +71,15 @@ class AIREncoder(nn.Module):
         from ..ops import fused as _fused
         from ..ops.fused_glimpse import fused_glimpse_encoder
 
+        import os
+
+        # The fully-fused glimpse-encoder kernel wins in isolation (~2x) but
+        # measured slightly slower end-to-end than XLA's pipelined unfused
+        # sequence (remat re-runs custom_vjp forwards; layout copies at the
+        # kernel boundary). Off by default; flip on to re-evaluate.
         if (
-            where is not None
+            os.environ.get("SQAIR_FUSE_GLIMPSE")
+            and where is not None
             and where.ndim == 2
             and _fused.use_pallas()
             and not self.is_initializing()

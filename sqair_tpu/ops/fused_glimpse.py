@@ -252,6 +252,15 @@ def _specs(n):
     return [pl.BlockSpec(memory_space=pltpu.VMEM)] * n
 
 
+def _compiler_params():
+    """The backward kernel's stack peaks ~40MB at the paper config (img +
+    interp matrices + HIGHEST-precision matmul temporaries); v5e has 128MB
+    of physical VMEM, so raise the default 16MB scoped limit."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _run_fwd(img, wl, mi, mask_params, enc_params, head_w, head_b, dims):
     from jax.experimental import pallas as pl
 
@@ -283,6 +292,7 @@ def _run_fwd(img, wl, mi, mask_params, enc_params, head_w, head_b, dims):
         out_shape=outs,
         in_specs=_specs(len(args)),
         out_specs=_specs(len(outs)),
+        compiler_params=_compiler_params(),
     )(*args)
 
 
@@ -335,6 +345,7 @@ def _run_bwd(img, wl, mi, mask_params, enc_params, head_w, saved, dloc,
         in_specs=_specs(len(args)),
         out_specs=_specs(len(outs)),
         scratch_shapes=scratch,
+        compiler_params=_compiler_params(),
     )(*args)
 
 
