@@ -28,7 +28,11 @@ WARMUP, ITERS = 3, 20
 def main():
     import jax
 
-    from sqair_tpu.data import OnDeviceSeqMNIST, make_template_bank
+    from sqair_tpu.data import (
+        OnDeviceDatasetSampler,
+        OnDeviceSeqMNIST,
+        make_template_bank,
+    )
     from sqair_tpu.models import AIRDecoder, Model, SequentialAIR, SQAIRTimestep
     from sqair_tpu.training import init_train, make_optimizer, make_train_step
 
@@ -45,10 +49,16 @@ def main():
     model = Model(SequentialAIR(timestep, decoder), k_particles=K)
     optimizer = make_optimizer("rmsprop", 1e-5)
 
-    # on-device data generation (part of the measured pipeline)
+    # reference-faithful pipeline: a FIXED dataset (the reference samples
+    # minibatches from 60k pre-generated sequences, data.py:204-242) held
+    # in HBM, with a per-step on-device gather in the measured loop
     gen = OnDeviceSeqMNIST(make_template_bank(64, 28), canvas_size=(H, H),
                            n_timesteps=T)
-    gen_fn = jax.jit(lambda r: gen(r, B))
+    dataset = jax.jit(lambda r: gen(r, 2048))(jax.random.PRNGKey(42))
+    sampler = OnDeviceDatasetSampler(
+        {"imgs": np.asarray(dataset["imgs"]), "nums": np.asarray(dataset["nums"])}
+    )
+    gen_fn = jax.jit(lambda r: sampler(r, B))
 
     rng = jax.random.PRNGKey(0)
     batch = gen_fn(rng)

@@ -176,6 +176,38 @@ def create_seq_dataset(n_samples=1000, n_timesteps=10, canvas_size=(50, 50),
 
 # ------------------------------------------------------------------- device
 
+class OnDeviceDatasetSampler:
+    """Device-resident dataset + jit-able minibatch gather.
+
+    The reference trains on a FIXED dataset with per-step minibatch
+    sampling (data.py:204-242, shuffled indices into host numpy arrays).
+    This is the TPU-native equivalent: the whole dataset lives in HBM and
+    each step gathers a random batch with one take — no host round-trip,
+    no per-step rendering.
+
+    Build from any generator output dict (imgs [T,N,H,W], nums [T or 1,N,C],
+    coords optional).
+    """
+
+    def __init__(self, data: Dict[str, np.ndarray]):
+        imgs = np.asarray(data["imgs"], np.float32)
+        if imgs.max() > 1.5:  # uint8-scaled
+            imgs = imgs / 255.0
+        self.imgs = jnp.asarray(imgs)  # [T, N, H, W]
+        nums = np.asarray(data["nums"], np.float32)
+        if nums.shape[0] == 1:  # [1, N, C] -> tile over time
+            nums = np.broadcast_to(nums, (imgs.shape[0],) + nums.shape[1:])
+        self.nums = jnp.asarray(nums)  # [T, N, C]
+        self.n = imgs.shape[1]
+
+    def __call__(self, rng, batch_size: int) -> Dict[str, jnp.ndarray]:
+        idx = jax.random.randint(rng, (batch_size,), 0, self.n)
+        return dict(
+            imgs=jnp.take(self.imgs, idx, axis=1),
+            nums=jnp.take(self.nums, idx, axis=1),
+        )
+
+
 class OnDeviceSeqMNIST:
     """jit-able moving-digit batch generator.
 
