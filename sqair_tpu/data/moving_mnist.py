@@ -193,19 +193,29 @@ class OnDeviceDatasetSampler:
         imgs = np.asarray(data["imgs"], np.float32)
         if imgs.max() > 1.5:  # uint8-scaled
             imgs = imgs / 255.0
-        self.imgs = jnp.asarray(imgs)  # [T, N, H, W]
         nums = np.asarray(data["nums"], np.float32)
         if nums.shape[0] == 1:  # [1, N, C] -> tile over time
             nums = np.broadcast_to(nums, (imgs.shape[0],) + nums.shape[1:])
-        self.nums = jnp.asarray(nums)  # [T, N, C]
-        self.n = imgs.shape[1]
+        # sample-major storage: leading-axis gathers map cleanly onto TPU
+        # dynamic-slices (a [T, N, ...] axis-1 gather blows scoped VMEM)
+        self.imgs = jnp.asarray(np.swapaxes(imgs, 0, 1))  # [N, T, H, W]
+        self.nums = jnp.asarray(np.swapaxes(nums, 0, 1))  # [N, T, C]
+        self.n = self.imgs.shape[0]
 
     def __call__(self, rng, batch_size: int) -> Dict[str, jnp.ndarray]:
         idx = jax.random.randint(rng, (batch_size,), 0, self.n)
-        return dict(
-            imgs=jnp.take(self.imgs, idx, axis=1),
-            nums=jnp.take(self.nums, idx, axis=1),
-        )
+
+        # per-sample dynamic slices: this XLA version fuses whole-batch
+        # gathers of [N, T, H, W] into a >16MB scoped-VMEM kernel; 32
+        # dynamic-slice ops are cheap and unfused
+        def pick(arr):
+            rows = [
+                jax.lax.dynamic_index_in_dim(arr, idx[i], 0, keepdims=False)
+                for i in range(batch_size)
+            ]
+            return jnp.swapaxes(jnp.stack(rows, 0), 0, 1)
+
+        return dict(imgs=pick(self.imgs), nums=pick(self.nums))
 
 
 class OnDeviceSeqMNIST:

@@ -25,7 +25,7 @@ from sqair_tpu.experiment.experiment_tools import (
     load,
     parse_flags,
 )
-from sqair_tpu.training import find_checkpoints, restore_checkpoint
+from sqair_tpu.training import find_checkpoints, restore_params
 from sqair_tpu.training.train import init_train, make_eval_step, make_optimizer
 
 flags.DEFINE_string("checkpoint_dir", "", "Run dir with checkpoints (…/run/<n>).")
@@ -99,8 +99,9 @@ def main(argv=None):
         if step_num in done:
             print(f"skipping {step_num} (already evaluated)")
             continue
-        restored = restore_checkpoint(ckpts[step_num], state.as_dict())
-        params = restored["params"]
+        # params-only restore: evaluation must not depend on the saved
+        # optimizer-state structure (lr schedules change it)
+        params = restore_params(ckpts[step_num], state.params)
 
         totals = {m: 0.0 for m in METRICS}
         for _ in range(n_batches):

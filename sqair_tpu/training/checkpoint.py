@@ -54,8 +54,19 @@ def restore_checkpoint(path: str, example_state: Dict[str, Any]) -> Dict[str, An
 def restore_params(path: str, example_params) -> Any:
     """Restores only the ``params`` subtree (evaluation/exploration use —
     tolerant of optimizer-state mismatches between save and restore time)."""
-    ckpt = ocp.PyTreeCheckpointer()
-    restored = ckpt.restore(os.path.abspath(path))
+    ckpt = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    restore_args = jax.tree_util.tree_map(
+        lambda x: ocp.RestoreArgs(restore_type=np.ndarray),
+        {"params": example_params},
+    )
+    restored = ckpt.restore(
+        os.path.abspath(path),
+        args=ocp.args.PyTreeRestore(
+            item={"params": example_params},
+            restore_args=restore_args,
+            partial_restore=True,
+        ),
+    )
     params = restored["params"]
 
     def fit(example, got):
