@@ -63,26 +63,43 @@ def main():
     rng = jax.random.PRNGKey(0)
     batch = gen_fn(rng)
     state = init_train(model, optimizer, rng, batch["imgs"])
-    step = make_train_step(model, optimizer, donate=True)
+
+    # fold the dataset sampling into the jitted step: one dispatch per
+    # iteration, and XLA fuses the sample transpose into its consumers
+    import optax
+
+    def _step_body(params, opt_state, rng):
+        data_rng, step_rng = jax.random.split(rng)
+        b = sampler(data_rng, B)
+
+        def loss_fn(p):
+            target, aux = model.loss_and_metrics(
+                p, step_rng, b["imgs"], b["nums"], record_mode="train"
+            )
+            return target, aux["metrics"]
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    step = jax.jit(_step_body, donate_argnums=(0, 1))
 
     params, opt_state = state.params, state.opt_state
     for i in range(WARMUP):
-        batch = gen_fn(jax.random.fold_in(rng, i))
         params, opt_state, metrics = step(
-            params, opt_state, jax.random.fold_in(rng, 1000 + i),
-            batch["imgs"], batch["nums"],
+            params, opt_state, jax.random.fold_in(rng, 1000 + i)
         )
-    jax.block_until_ready(metrics["target"])
+    print("warm target:", float(metrics["target"]))
 
     t0 = time.perf_counter()
     for i in range(ITERS):
-        batch = gen_fn(jax.random.fold_in(rng, 100 + i))
         params, opt_state, metrics = step(
-            params, opt_state, jax.random.fold_in(rng, 2000 + i),
-            batch["imgs"], batch["nums"],
+            params, opt_state, jax.random.fold_in(rng, 2000 + i)
         )
-    jax.block_until_ready(metrics["target"])
+    final = float(metrics["target"])  # forces completion of the chain
     dt = time.perf_counter() - t0
+    assert np.isfinite(final)
 
     frames = ITERS * T * B  # frames consumed per optimisation step (per chip)
     fps_per_chip = frames / dt / n_chips

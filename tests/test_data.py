@@ -116,3 +116,40 @@ class TestBatcherCurriculum:
         assert curriculum_seq_len(10_000_000, 3, 100_000, 10) == 10
         assert curriculum_seq_len(0, 0, 100_000, 10) == 10  # disabled
         assert curriculum_seq_len(0, 3, 0, 10) == 10  # disabled
+
+
+class TestOnDeviceDatasetSampler:
+    def test_sample_shapes_and_determinism(self):
+        import jax
+        import jax.numpy as jnp
+
+        from sqair_tpu.data import OnDeviceDatasetSampler
+
+        T, N, H, W, C = 4, 32, 12, 12, 3
+        rng = np.random.RandomState(0)
+        data = {
+            "imgs": rng.rand(T, N, H, W).astype(np.float32),
+            "nums": rng.rand(1, N, C).astype(np.float32),
+        }
+        s = OnDeviceDatasetSampler(data)
+        b = jax.jit(lambda r: s(r, 8))(jax.random.PRNGKey(0))
+        assert b["imgs"].shape == (T, 8, H, W)
+        assert b["nums"].shape == (T, 8, C)
+        b2 = jax.jit(lambda r: s(r, 8))(jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(np.asarray(b["imgs"]), np.asarray(b2["imgs"]))
+
+    def test_batches_are_dataset_rows(self):
+        import jax
+
+        from sqair_tpu.data import OnDeviceDatasetSampler
+
+        T, N, H, W = 3, 16, 6, 6
+        imgs = np.arange(T * N * H * W, dtype=np.float32).reshape(T, N, H, W)
+        s = OnDeviceDatasetSampler({"imgs": imgs / imgs.max(),
+                                    "nums": np.ones((1, N, 2), np.float32)})
+        b = np.asarray(jax.jit(lambda r: s(r, 4))(jax.random.PRNGKey(3))["imgs"])
+        # every sampled sequence must match one dataset column exactly
+        src = imgs / imgs.max()
+        for j in range(4):
+            matches = [np.allclose(b[:, j], src[:, n]) for n in range(N)]
+            assert any(matches)
