@@ -28,7 +28,7 @@ class SequentialAIR:
 
     def __init__(self, timestep: SQAIRTimestep, decoder: AIRDecoder,
                  sample_from_prior: bool = False, generate_after: int = -1,
-                 remat: str = "dots"):
+                 remat: str = "dots", scan_unroll: int = 1):
         """:param remat: rematerialisation policy for the time-scan body:
             "none" (store all residuals), "full" (jax.checkpoint, recompute
             everything in backward), or "dots" (save matmul outputs only —
@@ -41,6 +41,7 @@ class SequentialAIR:
         self.sample_from_prior = sample_from_prior
         self.generate_after = generate_after
         self.remat = remat
+        self.scan_unroll = scan_unroll
 
     # ------------------------------------------------------------------ init
     def init(self, rng, obs) -> Dict:
@@ -213,5 +214,6 @@ class SequentialAIR:
                 jax.checkpoint_policies.save_only_these_names("fused_out"),
             )
             step = jax.checkpoint(step, policy=policy)
-        _, outputs = jax.lax.scan(step, carry0, (ts, obs, step_rngs))
+        _, outputs = jax.lax.scan(step, carry0, (ts, obs, step_rngs),
+                                  unroll=self.scan_unroll)
         return outputs

@@ -27,8 +27,8 @@ import numpy as np
 from sqair_tpu.experiment import flags
 from sqair_tpu.experiment.experiment_tools import json_load, load, parse_flags
 from sqair_tpu.models import Model
-from sqair_tpu.training import latest_checkpoint, restore_checkpoint
-from sqair_tpu.training.train import init_train, make_optimizer
+from sqair_tpu.training import latest_checkpoint, restore_params
+
 
 flags.DEFINE_string("checkpoint_dir", "", "Run dir with checkpoints; empty = fresh params.")
 flags.DEFINE_string("out_dir", "", "Output dir (default: checkpoint_dir or '.').")
@@ -82,10 +82,7 @@ def main(argv=None):
         if found is None:
             raise FileNotFoundError(f"no checkpoints in {F.checkpoint_dir}")
         step, path = found
-        optimizer = make_optimizer("rmsprop", 1e-5)
-        state = init_train(model, optimizer, rng, jnp.asarray(padded))
-        restored = restore_checkpoint(path, state.as_dict())
-        params = restored["params"]
+        params = restore_params(path, params)
         print(f"restored checkpoint at step {step}")
 
     fwd = jax.jit(lambda p, r, o: model.forward(p, r, o))

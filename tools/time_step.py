@@ -7,8 +7,9 @@ timestep = SQAIRTimestep(n_steps=S, img_size=(H,H), glimpse_size=(G,G), n_what=N
 decoder = AIRDecoder(img_size=(H,H), glimpse_size=(G,G), glimpse_n_hiddens=[NH,NH], mean_img=np.zeros((H,H),np.float32))
 import sys as _sys
 _remat = _sys.argv[1] if len(_sys.argv) > 1 else "dots"
-print("remat:", _remat)
-model = Model(SequentialAIR(timestep, decoder, remat=_remat), k_particles=K)
+_unroll = int(_sys.argv[2]) if len(_sys.argv) > 2 else 1
+print("remat:", _remat, "unroll:", _unroll)
+model = Model(SequentialAIR(timestep, decoder, remat=_remat, scan_unroll=_unroll), k_particles=K)
 optimizer = make_optimizer("rmsprop",1e-5)
 rng = jax.random.PRNGKey(0)
 obs = jax.random.uniform(jax.random.PRNGKey(1),(T,B,H,H))
