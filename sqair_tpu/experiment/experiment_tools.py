@@ -118,12 +118,21 @@ def init_checkpoint(checkpoint_dir: str, data_config: str, model_config: str,
     resume_checkpoint = None
 
     _load_flags(model_config, data_config)
+    # names given explicitly on the CLI (recorded before parse consumes argv)
+    cli_names = {
+        a[2:].split("=")[0] for a in sys.argv[1:] if a.startswith("--")
+    }
     flags = parse_flags()
     assert_all_flags_parsed()
 
     if resume:
         restored = json_load(flag_path)
+        # explicit command-line flags win over the snapshot (the reference
+        # re-parses after restoring, experiment_tools.py:194-233) — so a
+        # resumed run can e.g. extend --train_itr
+        cli_values = {k: flags[k] for k in cli_names if k in flags}
         flags.update(restored)
+        flags.update(cli_values)
         tf_flags.FLAGS.restore(flags)
         found = latest_checkpoint(experiment_folder)
         if found is not None:

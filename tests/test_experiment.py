@@ -113,3 +113,35 @@ class TestRunDirs:
 
         with pytest.raises(ValueError):
             init_checkpoint(str(tmp_path / "nope"), "a", "b", resume=True)
+
+
+def test_resume_cli_flags_override_snapshot(tmp_path):
+    """A resumed run must honour explicit CLI flags (e.g. extended
+    --train_itr), not be pinned to the flags.json snapshot."""
+    import sys
+
+    from sqair_tpu.experiment import flags as tf_flags
+    from sqair_tpu.experiment.experiment_tools import init_checkpoint
+    import sqair_tpu.scripts.experiment  # noqa: F401  (defines train_itr)
+
+    saved_argv = sys.argv
+    saved_vals = dict(tf_flags.FLAGS._values)
+    try:
+        data_cfg = "sqair_tpu/configs/synth_seq_mnist_data.py"
+        model_cfg = "sqair_tpu/configs/mlp_mnist_model.py"
+        sys.argv = ["x", "--train_itr=100"]
+        logdir, flag_dict, _ = init_checkpoint(str(tmp_path / "run"), data_cfg,
+                                               model_cfg, resume=False)
+        assert flag_dict["train_itr"] == 100
+
+        sys.argv = ["x", "--train_itr=200"]
+        logdir2, flag_dict2, _ = init_checkpoint(str(tmp_path / "run"), data_cfg,
+                                                 model_cfg, resume=True)
+        assert logdir2 == logdir
+        assert flag_dict2["train_itr"] == 200  # CLI beats snapshot
+        # snapshot values without CLI overrides survive
+        assert flag_dict2["batch_size"] == flag_dict["batch_size"]
+    finally:
+        sys.argv = saved_argv
+        tf_flags.FLAGS._values.clear()
+        tf_flags.FLAGS._values.update(saved_vals)

@@ -1,0 +1,73 @@
+"""Smoke coverage for the reference's model-variant switches.
+
+Reference flag surface: transition/time_transition/prior_transition cells
+(common_model_flags.py:45-48), disc_prior_type {geom, cat}
+(mlp_mnist_model.py:42-43), prop_prior_type {rnn, rw, guided}
+(propagate.py:35-45), rec_where_prior, masked_glimpse.  Every variant must
+build, run a sequence, and produce finite outputs + gradients.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sqair_tpu.models import AIRDecoder, Model, SequentialAIR, SQAIRTimestep
+
+B, T, S, H, GH, NWHAT, NH = 2, 2, 2, 16, 6, 4, 16
+
+
+def build(**kw):
+    ts = SQAIRTimestep(
+        n_steps=S, img_size=(H, H), glimpse_size=(GH, GH), n_what=NWHAT,
+        n_hidden=NH, steps_pred_hidden=[8], **kw,
+    )
+    dec = AIRDecoder(img_size=(H, H), glimpse_size=(GH, GH),
+                     glimpse_n_hiddens=[NH],
+                     mean_img=np.zeros((H, H), np.float32))
+    seq = SequentialAIR(ts, dec)
+    obs = jax.random.uniform(jax.random.PRNGKey(1), (T, B, H, H))
+    params = seq.init(jax.random.PRNGKey(0), obs)
+    return seq, params, obs
+
+
+def assert_runs(seq, params, obs):
+    out = seq(params, jax.random.PRNGKey(2), obs)
+    for k, v in out.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+    model = Model(seq, k_particles=2)
+
+    def loss(p):
+        t, _ = model.loss_and_metrics(p, jax.random.PRNGKey(3), obs)
+        return t
+
+    grads = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+@pytest.mark.parametrize("cell", ["VanillaRNN", "GRU", "LSTM"])
+def test_transition_cells(cell):
+    assert_runs(*build(transition=cell))
+
+
+@pytest.mark.parametrize("cell", ["VanillaRNN", "LSTM"])
+def test_time_and_prior_cells(cell):
+    assert_runs(*build(time_transition=cell, prior_transition=cell))
+
+
+@pytest.mark.parametrize("prior", ["geom", "cat"])
+def test_disc_prior_types(prior):
+    assert_runs(*build(disc_prior_type=prior))
+
+
+@pytest.mark.parametrize("mode", ["rnn", "rw", "guided"])
+def test_prop_prior_types(mode):
+    assert_runs(*build(prop_prior_type=mode))
+
+
+def test_fixed_where_prior():
+    assert_runs(*build(rec_where_prior=False))
+
+
+def test_unmasked_glimpse():
+    assert_runs(*build(masked_glimpse=False))
