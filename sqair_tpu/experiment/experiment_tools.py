@@ -118,12 +118,11 @@ def init_checkpoint(checkpoint_dir: str, data_config: str, model_config: str,
     resume_checkpoint = None
 
     _load_flags(model_config, data_config)
-    # names given explicitly on the CLI (recorded before parse consumes argv)
-    cli_names = {
-        a[2:].split("=")[0] for a in sys.argv[1:] if a.startswith("--")
-    }
     flags = parse_flags()
     assert_all_flags_parsed()
+    # names given explicitly on the CLI (tracked across every parse() call,
+    # including the entry script's one that consumed argv)
+    cli_names = set(tf_flags.FLAGS._cli_set)
 
     if resume:
         restored = json_load(flag_path)

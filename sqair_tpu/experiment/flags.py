@@ -21,6 +21,7 @@ class _FlagValues:
         object.__setattr__(self, "_defs", {})  # name -> (type, default, help)
         object.__setattr__(self, "_values", {})
         object.__setattr__(self, "_parsed", False)
+        object.__setattr__(self, "_cli_set", set())  # names set via parse()
 
     # -- definition ----------------------------------------------------
     def _define(self, name: str, default, help_str: str, ftype):
@@ -70,6 +71,7 @@ class _FlagValues:
                 if self._defs[name][0] is bool and isinstance(v, str):
                     v = v.lower() in ("true", "t", "1", "yes")
                 self._values[name] = v
+                self._cli_set.add(name)
         object.__setattr__(self, "_parsed", True)
         return leftover
 
