@@ -73,6 +73,11 @@ flags.DEFINE_string("gpu", "0", "Unused (TPU build); kept for CLI parity.")
 flags.DEFINE_boolean("debug", False, "Extra logging.")
 flags.DEFINE_boolean("data_parallel", True,
                      "Shard the batch over all local devices.")
+flags.DEFINE_boolean("on_device_data", False,
+                     "Keep the training set in device memory and sample "
+                     "minibatches inside the jitted step (no host round-trip "
+                     "per iteration; the reference's tf.py_func equivalent "
+                     "stays the default).")
 
 
 def main(argv=None):
@@ -163,6 +168,43 @@ def main(argv=None):
 
         def shard(b):
             return b
+    device_step_for_len = None
+    if F.on_device_data and not use_dp:
+        import functools
+
+        import optax
+
+        from sqair_tpu.data import OnDeviceDatasetSampler
+
+        sampler = OnDeviceDatasetSampler(
+            {"imgs": data_dict["train_data"]["imgs"],
+             "nums": data_dict["train_data"]["nums"]}
+        )
+        print("on-device data: training set resident in HBM, "
+              "sampling inside the jitted step")
+
+        @functools.lru_cache(maxsize=None)
+        def device_step_for_len(seq_len):  # noqa: F811
+            def body(params, opt_state, rng):
+                drng, srng = jax.random.split(rng)
+                b = sampler(drng, F.batch_size)
+                obs = jax.lax.slice_in_dim(b["imgs"], 0, seq_len, axis=0)
+                nums = jax.lax.slice_in_dim(b["nums"], 0, seq_len, axis=0)
+
+                def loss_fn(p):
+                    target, aux = model.loss_and_metrics(
+                        p, srng, obs, nums, F.l2, record_mode="train"
+                    )
+                    return target, aux["metrics"]
+
+                (_, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, metrics
+
+            return jax.jit(body)
+
     from sqair_tpu.training import make_eval_step
 
     eval_step = make_eval_step(model)
@@ -212,14 +254,20 @@ def main(argv=None):
     t0 = time.time()
     frames_done = 0
     while train_itr < F.train_itr:
-        batch = shard(truncate_batch(next(data_dict["train_iter"]), stage_len(train_itr)))
-        state.params, state.opt_state, metrics = train_step(
-            state.params, state.opt_state, jax.random.fold_in(rng, train_itr),
-            batch["imgs"], batch["nums"],
-        )
+        sl = stage_len(train_itr)
+        if device_step_for_len is not None:
+            state.params, state.opt_state, metrics = device_step_for_len(sl)(
+                state.params, state.opt_state, jax.random.fold_in(rng, train_itr)
+            )
+        else:
+            batch = shard(truncate_batch(next(data_dict["train_iter"]), sl))
+            state.params, state.opt_state, metrics = train_step(
+                state.params, state.opt_state, jax.random.fold_in(rng, train_itr),
+                batch["imgs"], batch["nums"],
+            )
         train_itr += 1
         state.step = train_itr
-        frames_done += batch["imgs"].shape[0] * F.batch_size
+        frames_done += sl * F.batch_size
 
         if train_itr % report_every == 0:
             dt = time.time() - t0
@@ -229,7 +277,7 @@ def main(argv=None):
                 "iwae": float(metrics["normalised_iwae"]),
                 "num_steps": float(metrics["num_steps"]),
                 "num_step_acc": float(metrics.get("num_step_accuracy", np.nan)),
-                "seq_len": batch["imgs"].shape[0],
+                "seq_len": sl,
                 "frames_per_sec": fps,
             }
             print(f"{train_itr}: " + ", ".join(f"{k}={v:.5g}" for k, v in heartbeat.items()))
