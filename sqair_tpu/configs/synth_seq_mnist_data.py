@@ -9,9 +9,16 @@ from __future__ import annotations
 
 import numpy as np
 
+import sqair_tpu.common_model_flags  # noqa: F401  (registers output_std)
 from sqair_tpu.data import create_seq_dataset
 from sqair_tpu.data.mnist_tools import load as _load
 from sqair_tpu.experiment import flags
+
+# the reference's output_std=0.3 default is tuned for MNIST digits; the
+# procedural stroke digits have different contrast and 0.3 leaves the
+# likelihood too flat to reward explaining objects (presence collapses to
+# zero).  0.15 recovers discovery: ~86% count accuracy within 4k iters.
+flags.set_default("output_std", 0.15)
 
 flags.DEFINE_integer("synth_train_samples", 2048, "#synthetic train sequences")
 flags.DEFINE_integer("synth_valid_samples", 256, "#synthetic valid sequences")
