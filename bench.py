@@ -90,7 +90,8 @@ def main():
         params, opt_state, metrics = step(
             params, opt_state, jax.random.fold_in(rng, 1000 + i)
         )
-    print("warm target:", float(metrics["target"]))
+    import sys
+    print("warm target:", float(metrics["target"]), file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(ITERS):
