@@ -44,7 +44,12 @@ def _run_rollout(tmp_path, extra):
 
 class TestSmallDigitStressConfig:
     def test_defaults_retuned(self):
-        # the variant import (at module scope) shifted the defaults
+        # several configs tune the shared defaults (synth data sets
+        # output_std=0.15); re-apply this variant's shifts as a real run
+        # loading only these configs would
+        import importlib
+
+        importlib.reload(small_digit_mnist_model)
         assert flags.FLAGS._defs["disc_step_bias"][1] == 0.0
         assert flags.FLAGS._defs["output_std"][1] == 0.2
 
