@@ -30,6 +30,14 @@ def ess(weights: jnp.ndarray, average: bool = False) -> jnp.ndarray:
     return res
 
 
+def broadcast_against(tensor: jnp.ndarray, against: jnp.ndarray) -> jnp.ndarray:
+    """Adds trailing size-1 dims until ranks match (reference ops.py:85-101;
+    the tf.while_loop there is just static rank padding under jit)."""
+    while tensor.ndim < against.ndim:
+        tensor = tensor[..., None]
+    return tensor
+
+
 def delay_training_for(expr, global_step, num_train_iters: int):
     """Stop-gradient schedule: gradients flow only after num_train_iters.
 

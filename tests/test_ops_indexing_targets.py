@@ -142,3 +142,20 @@ class TestMathOps:
         assert float(ess(w)[0]) == pytest.approx(4.0)
         w = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
         assert float(ess(w)[0]) == pytest.approx(1.0)
+
+
+class TestBroadcastAgainst:
+    def test_rank_padding(self):
+        from sqair_tpu.ops.math import broadcast_against
+
+        mask = jnp.ones((2, 3))
+        data = jnp.ones((2, 3, 4, 5))
+        out = broadcast_against(mask, data)
+        assert out.shape == (2, 3, 1, 1)
+        np.testing.assert_array_equal(np.asarray(out * data), np.asarray(data))
+
+    def test_noop_at_equal_rank(self):
+        from sqair_tpu.ops.math import broadcast_against
+
+        x = jnp.ones((2, 3))
+        assert broadcast_against(x, jnp.ones((4, 5))).shape == (2, 3)
