@@ -22,7 +22,7 @@ BASELINE_FRAMES_PER_SEC = 5000.0  # 50x assumed TF1-CPU (see module docstring)
 # paper-grade training config (release_models/mnist_mlp/1/flags.json):
 # B=32, k=5, 3 slots, n_what=50, 256-wide MLPs, T=10 at end of curriculum
 T, B, K, S, H, G, NWHAT, NH = 10, 32, 5, 3, 50, 20, 50, 256
-WARMUP, ITERS = 3, 20
+WARMUP, ITERS = 3, 50
 
 
 def main():
