@@ -39,6 +39,56 @@ def make_template_bank(n: int, size: int = 28, seed: int = 0) -> np.ndarray:
     return np.stack([make_stroke_template(rng, size) for _ in range(n)])
 
 
+def make_font_digit_bank(n: int, size: int = 28, seed: int = 0):
+    """[n, size, size] uint8 bank of REAL digit glyphs rendered from system
+    fonts via matplotlib, with random scale/shift/rotation jitter — a much
+    closer MNIST stand-in than the stroke blobs (no network in this image,
+    so true MNIST is unavailable).
+
+    :return: (bank [n, size, size] uint8, labels [n] uint8)
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.transforms import Affine2D
+
+    rng = np.random.RandomState(seed)
+    bank = np.zeros((n, size, size), np.uint8)
+    labels = np.zeros((n,), np.uint8)
+    render_px = 4 * size  # supersample then downsample
+
+    fig = plt.figure(figsize=(1, 1), dpi=render_px)
+    try:
+        for i in range(n):
+            digit = rng.randint(0, 10)
+            labels[i] = digit
+            fig.clf()
+            ax = fig.add_axes([0, 0, 1, 1])
+            ax.set_xlim(0, 1), ax.set_ylim(0, 1)
+            ax.axis("off")
+            ax.set_facecolor("black")
+            fig.patch.set_facecolor("black")
+            rot = rng.uniform(-20, 20)
+            fs = rng.uniform(0.5, 0.72) * render_px
+            x, y = rng.uniform(0.38, 0.62), rng.uniform(0.32, 0.5)
+            ax.text(
+                x, y, str(digit), color="white", fontsize=fs,
+                ha="center", va="center",
+                rotation=rot, rotation_mode="anchor",
+                fontweight=rng.choice(["normal", "bold"]),
+            )
+            fig.canvas.draw()
+            buf = np.asarray(fig.canvas.buffer_rgba())[..., 0]  # grayscale
+            # downsample by block averaging
+            k = buf.shape[0] // size
+            img = buf[: k * size, : k * size].reshape(size, k, size, k).mean((1, 3))
+            bank[i] = np.clip(img, 0, 255).astype(np.uint8)
+    finally:
+        plt.close(fig)
+    return bank, labels
+
+
 def template_dimensions(template: np.ndarray):
     """Tight bounding box of a template (reference: data.py:49-61).
 

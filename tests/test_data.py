@@ -153,3 +153,25 @@ class TestOnDeviceDatasetSampler:
         for j in range(4):
             matches = [np.allclose(b[:, j], src[:, n]) for n in range(N)]
             assert any(matches)
+
+
+class TestFontDigitBank:
+    def test_bank_properties(self):
+        from sqair_tpu.data.synthetic import make_font_digit_bank
+
+        bank, labels = make_font_digit_bank(8, 20, seed=1)
+        assert bank.shape == (8, 20, 20) and bank.dtype == np.uint8
+        assert labels.shape == (8,)
+        assert set(labels) <= set(range(10))
+        assert bank.max() > 150  # strong strokes
+        for t in bank:  # every glyph has ink, none fills the frame
+            frac = (t > 0).mean()
+            assert 0.02 < frac < 0.7
+
+    def test_deterministic(self):
+        from sqair_tpu.data.synthetic import make_font_digit_bank
+
+        a, la = make_font_digit_bank(4, 20, seed=3)
+        b, lb = make_font_digit_bank(4, 20, seed=3)
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(la, lb)
