@@ -83,7 +83,10 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
-    step = jax.jit(_step_body, donate_argnums=(0, 1))
+    from sqair_tpu.ops.fused_cells import jit_compiler_options
+
+    step = jax.jit(_step_body, donate_argnums=(0, 1),
+                   compiler_options=jit_compiler_options())
 
     params, opt_state = state.params, state.opt_state
     for i in range(WARMUP):

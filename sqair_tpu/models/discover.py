@@ -70,9 +70,22 @@ class Discover(nn.Module):
             jnp.zeros((batch_size, S, 1)),
         )
 
+    def log_probs_only(self, rng, hidden_outputs, num_steps, time_step,
+                       conditioning_from_prop, prior_conditioning) -> Dict:
+        """Posterior/prior log-probs from recorded samples/stats.
+
+        Used by the deferred (out-of-scan, batched-over-time) log-prob pass:
+        identical math to the in-loop path, evaluated on [T*B, ...] stacks.
+        """
+        _, log_probs = self._compute_log_probs(
+            rng, hidden_outputs, num_steps, time_step, conditioning_from_prop,
+            prior_conditioning, False, None,
+        )
+        return log_probs
+
     def __call__(self, rng, img, n_present_obj, conditioning_from_prop=None,
                  time_step=0, prior_conditioning=None, sample_from_prior=False,
-                 do_generate=None) -> Dict:
+                 do_generate=None, compute_log_probs: bool = True) -> Dict:
         """Runs discovery for one frame (sqair_modules.py:94-125).
 
         :param img: [B, H, W]
@@ -94,12 +107,17 @@ class Discover(nn.Module):
 
         rng, sub = jax.random.split(rng)
         hidden_outputs, num_steps = self._discover(sub, img, conditioning_from_prop)
-        # NB: as in the reference, num_steps and the log-probs below use the
-        # posterior presence even when do_generate later overrides samples
-        hidden_outputs, log_probs = self._compute_log_probs(
-            rng, hidden_outputs, num_steps, time_step, conditioning_from_prop,
-            prior_conditioning, sample_from_prior, do_generate,
-        )
+        if compute_log_probs:
+            # NB: as in the reference, num_steps and the log-probs below use
+            # the posterior presence even when do_generate overrides samples
+            hidden_outputs, log_probs = self._compute_log_probs(
+                rng, hidden_outputs, num_steps, time_step, conditioning_from_prop,
+                prior_conditioning, sample_from_prior, do_generate,
+            )
+        else:
+            assert not sample_from_prior, (
+                "deferred log-probs only supported on the plain train path")
+            log_probs = {}
 
         outputs = dict(hidden_outputs=hidden_outputs, num_steps=num_steps,
                        max_disc_steps=max_disc_steps)
@@ -107,9 +125,86 @@ class Discover(nn.Module):
         outputs.update(log_probs)
         return outputs
 
+    def _fused_disc_params(self):
+        """Raw weights for the fused frame kernel, or None if ineligible
+        (non-TPU, init time, or non-standard module shapes)."""
+        import math
+        import os
+
+        from ..nn.layers import VanillaRNN
+        from ..ops import fused as _fused
+
+        # Opt-in: the frame kernels measured perf-NEUTRAL vs the XLA path
+        # at the paper config (both are per-op-latency-bound; docs/NOTES.md)
+        # and cost ~8min of Mosaic compile time, so the default is off.
+        if not os.environ.get("SQAIR_FUSE_CELLS") or not _fused.use_pallas():
+            return None
+        if self.is_initializing():
+            return None
+        cell = self.cell
+        if not isinstance(cell.transition, VanillaRNN):
+            return None
+        sp_mod = cell.steps_predictor
+        if (sp_mod.max_rel_logit_change != math.inf
+                or sp_mod.max_logit_change != math.inf):
+            return None
+        if cell.glimpse_encoder.scale_offset != 0.0:
+            return None
+        try:
+            enc_in = cell.input_encoder.variables["params"]["MLP_0"]
+            tr = cell.transition.variables["params"]
+            stp_m = cell.transform_estimator.variables["params"]
+            stp = stp_m["MLP_0"]
+            tree = cell.glimpse_encoder._fused_param_tree()
+            sp = sp_mod.variables["params"]["MLP_0"]
+            if (tree is None or "w_2" in enc_in or "w_1" not in enc_in
+                    or "w_3" in stp or "w_2" not in stp
+                    or "w_2" in sp or "w_1" not in sp):
+                return None
+            from ..ops import fused_cells
+
+            enc_params, (head_w, head_b), _ = tree
+            p = fused_cells.DiscParams(
+                enc_in=((enc_in["w_0"], enc_in["b_0"]),
+                        (enc_in["w_1"], enc_in["b_1"])),
+                rnn=(tr["in_to_hidden_w"], tr["hidden_to_hidden_w"],
+                     tr["in_to_hidden_b"]),
+                stp=((stp["w_0"], stp["b_0"]), (stp["w_1"], stp["b_1"]),
+                     (stp["w_2"], stp["b_2"])),
+                stp_offset=stp_m["scale_offset"],
+                ge_enc=enc_params,
+                ge_head=(head_w, head_b),
+                sp=((sp["w_0"], sp["b_0"]), (sp["w_1"], sp["b_1"])),
+            )
+            return p, tr["h0"]
+        except (KeyError, AttributeError, ValueError):
+            return None
+
+    def _discover_fused(self, fp, rng, img, conditioning):
+        """All S discovery slots as one Pallas kernel (ops/fused_cells.py)."""
+        from ..ops import fused_cells
+
+        p, h0 = fp
+        S, B = self.n_steps, img.shape[0]
+        r1, r2, r3 = jax.random.split(rng, 3)
+        eps_w = jax.random.normal(r1, (S, B, 4))
+        eps_x = jax.random.normal(r2, (S, B, self.cell.n_what))
+        u = jax.random.uniform(r3, (S, B, 1))
+        out = fused_cells.fused_disc_ssm(
+            img, img.reshape((B, -1)), conditioning, h0, eps_w, eps_x, u, p,
+            self.cell.glimpse_size,
+        )
+        hidden_outputs = {k: jnp.swapaxes(v, 0, 1) for k, v in out.items()}
+        num_steps = jnp.sum(hidden_outputs["presence"][..., 0], -1)
+        return hidden_outputs, num_steps
+
     def _discover(self, rng, img, conditioning):
         """Unrolls the discovery core over object slots (_discover,
         sqair_modules.py:127-147).  S <= 4, so a python unroll."""
+        fp = self._fused_disc_params()
+        if fp is not None:
+            return self._discover_fused(fp, rng, img, conditioning)
+
         encoded_img = self.cell.encode_img(img)
         state = self.cell.initial_state(img, encoded_img)
 
@@ -132,13 +227,17 @@ class Discover(nn.Module):
         if self.disc_prior_type == "geom":
             return D.Geometric(probs=jnp.asarray(1.0 - self.step_success_prob))
 
+        # time_step may be a scalar (in-loop path) or a [N, 1] array
+        # (deferred batched path); both broadcast below
         is_first = jnp.asarray(time_step == 0, jnp.float32)
         step_logits = self._step_logits + (1.0 - is_first) * self._timestep_bias
+        if step_logits.ndim == 1:
+            step_logits = step_logits[None]
         if prior_conditioning.shape[-1] > 0:
-            step_logits = step_logits[None] + self._step_cond_mlp(prior_conditioning)
+            step_logits = step_logits + self._step_cond_mlp(prior_conditioning)
         else:
             step_logits = jnp.broadcast_to(
-                step_logits[None], (prior_conditioning.shape[0], self.n_steps + 1)
+                step_logits, (prior_conditioning.shape[0], self.n_steps + 1)
             )
         step_logits = jax.nn.elu(step_logits)
         return D.Categorical(logits=step_logits)

@@ -103,8 +103,20 @@ class Propagate(nn.Module):
     def prior_init_state(self, batch_size, trainable=True):
         return self.prior.initial_state(batch_size, trainable)
 
+    def log_probs_only(self, presence_tm1, hidden_outputs, prior_stats,
+                       delta_what, delta_where) -> Dict:
+        """Posterior/prior log-probs from recorded samples/stats (the
+        deferred, batched-over-time pass; math identical to the in-loop
+        path)."""
+        _, log_probs = self._compute_log_probs(
+            jax.random.PRNGKey(0), presence_tm1, hidden_outputs, prior_stats,
+            delta_what, delta_where, False, None,
+        )
+        return log_probs
+
     def __call__(self, rng, img, z_tm1, temporal_state, prior_state,
-                 sample_from_prior=False, do_generate=None) -> Dict:
+                 sample_from_prior=False, do_generate=None,
+                 compute_log_probs: bool = True) -> Dict:
         """:param img: [B, H, W]
         :param z_tm1: (what, where, presence, presence_logit), each [B, S, d]
         :param temporal_state: state tuple of [B, S, U]
@@ -117,10 +129,15 @@ class Propagate(nn.Module):
         hidden_outputs, num_steps, delta_what, delta_where, temporal_state = self._ssm(
             ssm_rng, img, z_tm1, temporal_state
         )
-        hidden_outputs, log_probs = self._compute_log_probs(
-            rng, presence_tm1, hidden_outputs, prior_stats, delta_what, delta_where,
-            sample_from_prior, do_generate,
-        )
+        if compute_log_probs:
+            hidden_outputs, log_probs = self._compute_log_probs(
+                rng, presence_tm1, hidden_outputs, prior_stats, delta_what,
+                delta_where, sample_from_prior, do_generate,
+            )
+        else:
+            assert not sample_from_prior, (
+                "deferred log-probs only supported on the plain train path")
+            log_probs = {}
 
         outputs = dict(
             prior_stats=prior_stats,
@@ -133,8 +150,105 @@ class Propagate(nn.Module):
         outputs.update(log_probs)
         return outputs
 
+    def _fused_prop_params(self):
+        """Raw weights for the fused frame kernel, or None if ineligible."""
+        import math
+        import os
+
+        from ..nn.layers import GRU, VanillaRNN
+        from ..ops import fused as _fused
+
+        if not os.environ.get("SQAIR_FUSE_CELLS") or not _fused.use_pallas():
+            return None  # opt-in kernels, see Discover._fused_disc_params
+        if self.is_initializing():
+            return None
+        cell = self.ssm_cell
+        if not isinstance(cell.transition, VanillaRNN):
+            return None
+        if not isinstance(cell.temporal_cell, GRU):
+            return None
+        if cell.where_update_scale != 1.0:
+            return None
+        if not cell.glimpse_encoder.masked_glimpse:
+            return None  # the fused kernel assumes the masked glimpse path
+        sp_mod = cell.steps_predictor
+        if (sp_mod.max_rel_logit_change != math.inf
+                or sp_mod.max_logit_change != math.inf):
+            return None
+        if cell.glimpse_encoder.scale_offset != 0.0:
+            return None
+        try:
+            tr = cell.transition.variables["params"]
+            stp_m = cell.transform_estimator.variables["params"]
+            stp = stp_m["MLP_0"]
+            tree = cell.glimpse_encoder._fused_param_tree()
+            sp = sp_mod.variables["params"]["MLP_0"]
+            wb = cell._where_bias_mlp.variables["params"]
+            chol = cell._where_distrib.variables["params"]["cholesky_scale"]
+            gru = cell.temporal_cell.variables["params"]
+            td = cell._temporal_what_distrib.variables["params"]["Dense_0"]
+            gates = cell._gates.variables["params"]
+            if (tree is None or tree[2] is None
+                    or "w_3" in stp or "w_2" not in stp
+                    or "w_2" in sp or "w_1" not in sp
+                    or "w_2" in wb or "w_1" not in wb
+                    or chol.shape != (10, 1)):
+                return None
+            from ..ops import fused_cells
+            from ..ops.distributions import fill_triangular
+
+            enc_params, (head_w, head_b), mask_params = tree
+            p = fused_cells.PropParams(
+                wb=((wb["w_0"], wb["b_0"]), (wb["w_1"], wb["b_1"])),
+                mask=mask_params,
+                ge_enc=enc_params,
+                ge_head=(head_w, head_b),
+                rnn=(tr["in_to_hidden_w"], tr["hidden_to_hidden_w"],
+                     tr["in_to_hidden_b"]),
+                stp=((stp["w_0"], stp["b_0"]), (stp["w_1"], stp["b_1"]),
+                     (stp["w_2"], stp["b_2"])),
+                stp_offset=stp_m["scale_offset"],
+                tril=fill_triangular(chol[:, 0], 4),
+                gru=(gru["gates_xw"], gru["gates_hw"], gru["gates_b"],
+                     gru["candidate_xw"], gru["candidate_hw"],
+                     gru["candidate_b"]),
+                td=(td["kernel"], td["bias"]),
+                gates=(gates["w_0"], gates["b_0"]),
+                sp=((sp["w_0"], sp["b_0"]), (sp["w_1"], sp["b_1"])),
+            )
+            return p, tr["h0"]
+        except (KeyError, AttributeError, ValueError):
+            return None
+
+    def _ssm_fused(self, fp, rng, img, z_tm1, temporal_state):
+        """All S propagation slots as one Pallas kernel (ops/fused_cells.py)."""
+        from ..ops import fused_cells
+
+        p, h0 = fp
+        S, B = z_tm1[0].shape[1], img.shape[0]
+        n_what = z_tm1[0].shape[-1]
+        T_ = lambda x: jnp.swapaxes(x, 0, 1)
+        r1, r2, r3 = jax.random.split(rng, 3)
+        eps_w = jax.random.normal(r1, (S, B, 4))
+        eps_x = jax.random.normal(r2, (S, B, n_what))
+        u = jax.random.uniform(r3, (S, B, 1))
+        out = fused_cells.fused_prop_ssm(
+            img, tuple(T_(z) for z in z_tm1), T_(temporal_state[0]), h0,
+            eps_w, eps_x, u, p, self.ssm_cell.glimpse_size,
+        )
+        stacked = {k: T_(out[k]) for k in HIDDEN_OUTPUT_FIELDS}
+        delta_what = T_(out["what_sample"])
+        delta_where = T_(out["where_sample"])
+        temporal_state = (T_(out["temporal_h"]),)
+        num_steps = jnp.sum(stacked["presence"][..., 0], -1)
+        return stacked, num_steps, delta_what, delta_where, temporal_state
+
     def _ssm(self, rng, img, z_tm1, temporal_state):
         """Slot unroll of the propagation core (propagate.py:161-184)."""
+        fp = self._fused_prop_params() if len(temporal_state) == 1 else None
+        if fp is not None:
+            return self._ssm_fused(fp, rng, img, z_tm1, temporal_state)
+
         S = z_tm1[0].shape[1]
         state = self.ssm_cell.initial_state(img)
 

@@ -28,18 +28,36 @@ class SequentialAIR:
 
     def __init__(self, timestep: SQAIRTimestep, decoder: AIRDecoder,
                  sample_from_prior: bool = False, generate_after: int = -1,
-                 remat: str = "dots", scan_unroll: int = 1):
+                 remat: str = "auto", scan_unroll: int = 1):
         """:param remat: rematerialisation policy for the time-scan body:
             "none" (store all residuals), "full" (jax.checkpoint, recompute
-            everything in backward), or "dots" (save matmul outputs only —
-            elementwise chains recompute).  Residual stacking is ~25% of
-            the train step's device time at the paper config, so "dots" is
-            the default.
+            everything in backward), "dots" (save matmul outputs only —
+            elementwise chains recompute), or "auto" (default): "none" when
+            the fused frame kernels are active — their residuals are packed
+            blobs and a checkpoint would re-run the forward kernels in the
+            backward — else "dots".
         """
+        import os
+
         self.timestep = timestep
         self.decoder = decoder
         self.sample_from_prior = sample_from_prior
         self.generate_after = generate_after
+        remat = os.environ.get("SQAIR_REMAT", remat)
+        if remat == "auto":
+            from ..ops import fused
+
+            fused_cells_on = (
+                fused.use_pallas()
+                and bool(os.environ.get("SQAIR_FUSE_CELLS"))
+                # structural eligibility mirror of Discover._fused_disc_params
+                # / Propagate._fused_prop_params (param-free approximation)
+                and getattr(timestep, "transition", None) == "VanillaRNN"
+                and getattr(timestep, "time_transition", None) == "GRU"
+                and getattr(timestep, "encoder_type", "mlp") == "mlp"
+                and getattr(timestep, "masked_glimpse", True)
+            )
+            remat = "none" if fused_cells_on else "dots"
         self.remat = remat
         self.scan_unroll = scan_unroll
 
@@ -104,14 +122,41 @@ class SequentialAIR:
             if self.generate_after >= 0:
                 do_generate = (t > self.generate_after).astype(jnp.float32)
 
+            train_mode = record_mode == "train" and not self.sample_from_prior
             out = self.timestep.apply(
                 params["timestep"], step_rng, img,
                 carry["z"], carry["time_state"], carry["prior_state"],
                 carry["last_used_id"], carry["prev_ids"], t,
                 self.sample_from_prior, do_generate,
+                not train_mode,
             )
 
             z_t = out["z_t"]
+
+            prop, disc = out["prop"], out["disc"]
+            if train_mode:
+                # neither the decoder/likelihood nor the posterior/prior
+                # log-probs feed the scan carry: both run AFTER the scan,
+                # batched over [T*B] (big MXU batches instead of T more
+                # links in the sequential chain) — see below
+                record = dict(
+                    z_what=z_t[0], z_where=z_t[1], z_presence=z_t[2],
+                    prop_h=prop["hidden_outputs"],
+                    disc_h=disc["hidden_outputs"],
+                    prior_stats=prop["prior_stats"],
+                    presence_tm1=carry["z"][2],
+                    cond_prop=out["conditioning_from_prop"],
+                    prior_cond=out["expected_prop_prior_num_step"],
+                )
+                new_carry = dict(
+                    z=z_t,
+                    time_state=out["temporal_hidden_state"],
+                    prior_state=out["prop_prior_state"],
+                    prev_ids=out["ids"],
+                    last_used_id=out["highest_used_ids"],
+                )
+                return new_carry, record
+
             p_x_given_z, glimpse = self.decoder.apply(
                 params["decoder"], z_t[0], z_t[1], z_t[2]
             )
@@ -121,8 +166,7 @@ class SequentialAIR:
             kl = out["q_z_given_x"] - out["p_z"]
             log_weights = data_ll - kl
 
-            prop, disc = out["prop"], out["disc"]
-            if record_mode == "train":
+            if record_mode == "train":  # trimmed record, in-loop log-probs
                 record = dict(
                     discrete_log_prob=prop["prop_log_prob"] + disc["num_step_log_prob"],
                     num_prop_steps_per_sample=prop["num_steps"],
@@ -216,4 +260,49 @@ class SequentialAIR:
             step = jax.checkpoint(step, policy=policy)
         _, outputs = jax.lax.scan(step, carry0, (ts, obs, step_rngs),
                                   unroll=self.scan_unroll)
+
+        if record_mode == "train" and not self.sample_from_prior:
+            # deferred decode + log-probs: batched [T*B] passes instead of
+            # T sequential links inside the scan (neither feeds the carry)
+            flat = lambda x: x.reshape((T * B,) + x.shape[2:])
+            zw = outputs.pop("z_what")
+            zwh = outputs.pop("z_where")
+            zp = outputs.pop("z_presence")
+
+            lp = self.timestep.apply(
+                params["timestep"], jax.random.PRNGKey(0),
+                jax.tree_util.tree_map(flat, outputs.pop("prop_h")),
+                tuple(flat(s) for s in outputs.pop("prior_stats")),
+                flat(outputs.pop("presence_tm1")),
+                jax.tree_util.tree_map(flat, outputs.pop("disc_h")),
+                flat(outputs.pop("cond_prop")),
+                flat(outputs.pop("prior_cond")),
+                jnp.broadcast_to(ts[:, None, None].astype(jnp.float32),
+                                 (T, B, 1)).reshape((T * B, 1)),
+                method=SQAIRTimestep.batched_log_probs,
+            )
+            unflat = lambda x: x.reshape((T, B))
+            outputs["log_q_z_given_x_per_sample"] = unflat(lp["q_z_given_x"])
+            outputs["log_p_z_per_sample"] = unflat(lp["p_z"])
+            outputs["discrete_log_prob"] = unflat(lp["discrete_log_prob"])
+            outputs["num_prop_steps_per_sample"] = unflat(lp["num_prop_steps"])
+            outputs["num_disc_steps_per_sample"] = unflat(lp["num_disc_steps"])
+            outputs["num_steps_per_sample"] = jnp.sum(zp[..., 0], -1)
+
+            p_x_given_z, _ = self.decoder.apply(
+                params["decoder"], flat(zw), flat(zwh), flat(zp)
+            )
+            obs_flat = obs.reshape((T * B,) + obs.shape[2:])
+            data_ll = jnp.sum(
+                p_x_given_z.log_prob(obs_flat), axis=(1, 2)
+            ).reshape((T, B))
+            mse = jnp.mean(
+                (obs_flat - p_x_given_z.mean) ** 2, axis=(1, 2)
+            ).reshape((T, B))
+            kl = (outputs["log_q_z_given_x_per_sample"]
+                  - outputs["log_p_z_per_sample"])
+            outputs["data_ll_per_sample"] = data_ll
+            outputs["kl_per_sample"] = kl
+            outputs["mse_per_timestep"] = mse
+            outputs["log_weights_per_timestep"] = data_ll - kl
         return outputs

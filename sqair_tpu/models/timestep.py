@@ -140,14 +140,20 @@ class SQAIRTimestep(nn.Module):
     # ----------------------------------------------------------------- step
     def __call__(self, rng, img, z_tm1, temporal_hidden_state, prop_prior_state,
                  highest_used_ids, prev_ids, time_step,
-                 sample_from_prior: bool = False, do_generate=None) -> Dict:
-        """(sqair_modules.py:446-490)"""
+                 sample_from_prior: bool = False, do_generate=None,
+                 compute_log_probs: bool = True) -> Dict:
+        """(sqair_modules.py:446-490)
+
+        With ``compute_log_probs=False`` the step returns only samples /
+        stats; the log-probs are evaluated later, batched over time, via
+        :meth:`batched_log_probs` (they never feed the recurrence).
+        """
         batch_size = img.shape[0]
         rng_prop, rng_disc = jax.random.split(rng)
 
         prop_output = self.propagate(
             rng_prop, img, z_tm1, temporal_hidden_state, prop_prior_state,
-            sample_from_prior, do_generate,
+            sample_from_prior, do_generate, compute_log_probs,
         )
         conditioning_from_prop = self._encode_latents(
             prop_output["what"], prop_output["where"], prop_output["presence"]
@@ -162,6 +168,7 @@ class SQAIRTimestep(nn.Module):
         disc_output = self.discover(
             rng_disc, img, prop_output["num_steps"], conditioning_from_prop,
             time_step, expected_prop_prior_num_step, sample_from_prior, do_generate,
+            compute_log_probs,
         )
 
         (hidden_outputs, z_t, obj_ids, prop_prior_state, temporal_hidden_state,
@@ -179,13 +186,47 @@ class SQAIRTimestep(nn.Module):
             prop=prop_output,
             disc=disc_output,
             temporal_hidden_state=temporal_hidden_state,
-            presence_log_prob=prop_output["prop_log_prob"] + disc_output["num_step_log_prob"],
-            p_z=disc_output["p_z"] + prop_output["p_z"],
-            q_z_given_x=disc_output["q_z_given_x"] + prop_output["q_z_given_x"],
         )
+        if compute_log_probs:
+            outputs.update(
+                presence_log_prob=(prop_output["prop_log_prob"]
+                                   + disc_output["num_step_log_prob"]),
+                p_z=disc_output["p_z"] + prop_output["p_z"],
+                q_z_given_x=disc_output["q_z_given_x"] + prop_output["q_z_given_x"],
+            )
+        else:
+            outputs["conditioning_from_prop"] = conditioning_from_prop
+            outputs["expected_prop_prior_num_step"] = expected_prop_prior_num_step
         outputs.update(hidden_outputs)
         outputs["num_steps"] = jnp.sum(hidden_outputs["presence"][..., 0], -1)
         return outputs
+
+    def batched_log_probs(self, rng, prop_hidden, prior_stats, presence_tm1,
+                          disc_hidden, conditioning_from_prop,
+                          prior_conditioning, time_steps) -> Dict:
+        """Deferred log-prob pass over flattened [T*B, ...] stacks.
+
+        Evaluates exactly the log-probs the in-loop path would have
+        (Propagate/Discover ``_compute_log_probs``); returns the aggregates
+        the training target needs.
+        """
+        prop_lp = self.propagate.log_probs_only(
+            presence_tm1, prop_hidden, prior_stats,
+            prop_hidden["what"], prop_hidden["where"],
+        )
+        disc_num_steps = jnp.sum(disc_hidden["presence"][..., 0], -1)
+        disc_lp = self.discover.log_probs_only(
+            rng, disc_hidden, disc_num_steps, time_steps,
+            conditioning_from_prop, prior_conditioning,
+        )
+        return dict(
+            q_z_given_x=disc_lp["q_z_given_x"] + prop_lp["q_z_given_x"],
+            p_z=disc_lp["p_z"] + prop_lp["p_z"],
+            discrete_log_prob=(prop_lp["prop_log_prob"]
+                               + disc_lp["num_step_log_prob"]),
+            num_prop_steps=jnp.sum(prop_hidden["presence"][..., 0], -1),
+            num_disc_steps=disc_num_steps,
+        )
 
     # -------------------------------------------------------------- helpers
     def propagate_only(self, rng, img, z_tm1, temporal_hidden_state,

@@ -105,8 +105,11 @@ def make_train_step(model: Model, optimizer: optax.GradientTransformation,
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
+    from ..ops.fused_cells import jit_compiler_options
+
     donate_argnums = (0, 1) if donate else ()
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+    return jax.jit(train_step, donate_argnums=donate_argnums,
+                   compiler_options=jit_compiler_options())
 
 
 def make_eval_step(model: Model) -> Callable:
@@ -114,7 +117,9 @@ def make_eval_step(model: Model) -> Callable:
         _, aux = model.loss_and_metrics(params, rng, obs, nums)
         return aux["metrics"]
 
-    return jax.jit(eval_step)
+    from ..ops.fused_cells import jit_compiler_options
+
+    return jax.jit(eval_step, compiler_options=jit_compiler_options())
 
 
 def init_train(model: Model, optimizer, rng, example_obs) -> TrainState:

@@ -1,4 +1,3 @@
-import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Wall-clock breakdown of the training step on the attached accelerator.
 
 Times jitted sub-graphs of the paper-grade config independently:
@@ -12,7 +11,11 @@ Run: python tools/profile_step.py [--trace DIR]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -24,14 +27,21 @@ from sqair_tpu.training import init_train, make_optimizer, make_train_step
 T, B, K, S, H, G, NWHAT, NH = 10, 32, 5, 3, 50, 20, 50, 256
 
 
+def _sync(out):
+    # block_until_ready does not reliably block over the axon tunnel;
+    # fetching a concrete leaf forces completion of the whole chain
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+
+
 def timeit(name, fn, *args, iters=20, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:34s} {dt * 1e3:9.2f} ms")
     return dt
