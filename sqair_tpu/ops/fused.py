@@ -173,11 +173,11 @@ _fused_mlp_2d.defvjp(_fused_fwd, _fused_bwd)
 
 # ------------------------------------------------------------- RNN cells
 def _vrnn_fwd_kernel(x_ref, h_ref, w_ref, u_ref, b_ref, out_ref):
-    z = (
-        jnp.dot(x_ref[...], w_ref[...], preferred_element_type=jnp.float32)
-        + jnp.dot(h_ref[...], u_ref[...], preferred_element_type=jnp.float32)
-        + b_ref[...][None, :]
-    )
+    # one concat matmul instead of x@W + h@U: halves the dependent MXU ops
+    # (the chain is latency-bound, docs/NOTES.md)
+    xh = jnp.concatenate([x_ref[...], h_ref[...]], -1)
+    wu = jnp.concatenate([w_ref[...], u_ref[...]], 0)
+    z = jnp.dot(xh, wu, preferred_element_type=jnp.float32) + b_ref[...][None, :]
     out_ref[...] = jnp.tanh(z)
 
 
@@ -185,10 +185,15 @@ def _vrnn_bwd_kernel(x_ref, h_ref, w_ref, u_ref, hn_ref, g_ref,
                      dx_ref, dh_ref, dw_ref, du_ref, db_ref):
     hn = hn_ref[...]
     dz = g_ref[...] * (1.0 - hn * hn)
-    dx_ref[...] = jnp.dot(dz, w_ref[...].T, preferred_element_type=jnp.float32)
-    dh_ref[...] = jnp.dot(dz, u_ref[...].T, preferred_element_type=jnp.float32)
-    dw_ref[...] = jnp.dot(x_ref[...].T, dz, preferred_element_type=jnp.float32)
-    du_ref[...] = jnp.dot(h_ref[...].T, dz, preferred_element_type=jnp.float32)
+    wu = jnp.concatenate([w_ref[...], u_ref[...]], 0)
+    dxh = jnp.dot(dz, wu.T, preferred_element_type=jnp.float32)
+    n_in = x_ref.shape[-1]
+    dx_ref[...] = dxh[:, :n_in]
+    dh_ref[...] = dxh[:, n_in:]
+    xh = jnp.concatenate([x_ref[...], h_ref[...]], -1)
+    dwu = jnp.dot(xh.T, dz, preferred_element_type=jnp.float32)
+    dw_ref[...] = dwu[:n_in]
+    du_ref[...] = dwu[n_in:]
     db_ref[...] = jnp.sum(dz, axis=0)
 
 
@@ -240,17 +245,19 @@ def fused_vanilla_rnn(x, h, w, u, b):
 def _gru_fwd_kernel(x_ref, h_ref, wg_ref, ug_ref, bg_ref, wc_ref, uc_ref,
                     bc_ref, hn_ref, zr_ref, c_ref):
     x, h = x_ref[...], h_ref[...]
-    a = (
-        jnp.dot(x, wg_ref[...], preferred_element_type=jnp.float32)
-        + jnp.dot(h, ug_ref[...], preferred_element_type=jnp.float32)
+    # concat matmuls: 4 dependent MXU ops -> 2 (latency-bound chain)
+    xh = jnp.concatenate([x, h], -1)
+    wug = jnp.concatenate([wg_ref[...], ug_ref[...]], 0)
+    zr = jax.nn.sigmoid(
+        jnp.dot(xh, wug, preferred_element_type=jnp.float32)
         + bg_ref[...][None, :]
     )
-    zr = jax.nn.sigmoid(a)
     u_dim = h.shape[-1]
     z, r = zr[:, :u_dim], zr[:, u_dim:]
+    xrh = jnp.concatenate([x, r * h], -1)
+    wuc = jnp.concatenate([wc_ref[...], uc_ref[...]], 0)
     c = jnp.tanh(
-        jnp.dot(x, wc_ref[...], preferred_element_type=jnp.float32)
-        + jnp.dot(r * h, uc_ref[...], preferred_element_type=jnp.float32)
+        jnp.dot(xrh, wuc, preferred_element_type=jnp.float32)
         + bc_ref[...][None, :]
     )
     hn_ref[...] = (1.0 - z) * h + z * c
@@ -269,24 +276,27 @@ def _gru_bwd_kernel(x_ref, h_ref, wg_ref, ug_ref, wc_ref, uc_ref, zr_ref,
 
     dz = g * (c - h)
     dc_in = (g * z) * (1.0 - c * c)
-    drh = jnp.dot(dc_in, uc_ref[...].T, preferred_element_type=jnp.float32)
+    n_in = x.shape[-1]
+    wuc = jnp.concatenate([wc_ref[...], uc_ref[...]], 0)
+    dxrh = jnp.dot(dc_in, wuc.T, preferred_element_type=jnp.float32)
+    drh = dxrh[:, n_in:]
     dr = drh * h
     da = jnp.concatenate([dz, dr], axis=-1) * zr * (1.0 - zr)
 
-    dwc_ref[...] = jnp.dot(x.T, dc_in, preferred_element_type=jnp.float32)
-    duc_ref[...] = jnp.dot((r * h).T, dc_in, preferred_element_type=jnp.float32)
+    xrh = jnp.concatenate([x, r * h], -1)
+    dwuc = jnp.dot(xrh.T, dc_in, preferred_element_type=jnp.float32)
+    dwc_ref[...] = dwuc[:n_in]
+    duc_ref[...] = dwuc[n_in:]
     dbc_ref[...] = jnp.sum(dc_in, axis=0)
-    dwg_ref[...] = jnp.dot(x.T, da, preferred_element_type=jnp.float32)
-    dug_ref[...] = jnp.dot(h.T, da, preferred_element_type=jnp.float32)
+    xh = jnp.concatenate([x, h], -1)
+    dwug = jnp.dot(xh.T, da, preferred_element_type=jnp.float32)
+    dwg_ref[...] = dwug[:n_in]
+    dug_ref[...] = dwug[n_in:]
     dbg_ref[...] = jnp.sum(da, axis=0)
-    dx_ref[...] = (
-        jnp.dot(dc_in, wc_ref[...].T, preferred_element_type=jnp.float32)
-        + jnp.dot(da, wg_ref[...].T, preferred_element_type=jnp.float32)
-    )
-    dh_ref[...] = (
-        g * (1.0 - z) + drh * r
-        + jnp.dot(da, ug_ref[...].T, preferred_element_type=jnp.float32)
-    )
+    wug = jnp.concatenate([wg_ref[...], ug_ref[...]], 0)
+    dxh = jnp.dot(da, wug.T, preferred_element_type=jnp.float32)
+    dx_ref[...] = dxrh[:, :n_in] + dxh[:, :n_in]
+    dh_ref[...] = g * (1.0 - z) + drh * r + dxh[:, n_in:]
 
 
 @jax.custom_vjp

@@ -65,8 +65,13 @@ def main(argv=None):
     flag_file = osp.join(run_dir, "flags.json")
     if osp.exists(flag_file):
         restored = json_load(flag_file)
-        for key in ("checkpoint_dir", "data_config", "model_config", "dataset",
-                    "every_nth_checkpoint", "eval_batch_size"):
+        # eval-only flags always win; data/model config come from the run
+        # snapshot unless explicitly overridden on the CLI
+        drop = {"checkpoint_dir", "dataset", "every_nth_checkpoint",
+                "eval_batch_size"}
+        drop |= {n for n in ("data_config", "model_config")
+                 if n in getattr(flags.FLAGS, "_cli_set", set())}
+        for key in drop:
             restored.pop(key, None)
         flags.FLAGS.restore({**flags.FLAGS.as_dict(), **restored})
 

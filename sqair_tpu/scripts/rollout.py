@@ -49,10 +49,13 @@ def main(argv=None):
     if F.checkpoint_dir:
         saved = json_load(os.path.join(F.checkpoint_dir, "flags.json"))
         if saved:
-            keep = {k: flags.FLAGS.as_dict()[k] for k in
-                    ("rollout_len", "condition_frames", "n_examples",
-                     "rollout_seed", "checkpoint_dir", "out_dir",
-                     "data_config", "model_config")}
+            # rollout-only flags always win; data/model config come from the
+            # run snapshot unless explicitly overridden on the CLI
+            keep_names = {"rollout_len", "condition_frames", "n_examples",
+                          "rollout_seed", "checkpoint_dir", "out_dir"}
+            keep_names |= {n for n in ("data_config", "model_config")
+                           if n in getattr(flags.FLAGS, "_cli_set", set())}
+            keep = {k: flags.FLAGS.as_dict()[k] for k in keep_names}
             flags.FLAGS.restore({**saved, **keep})
     parse_flags()
 
