@@ -64,6 +64,12 @@ def main(argv=None):
                     "quick_train")
             cur = flags.FLAGS.as_dict()
             flags.FLAGS.restore({**saved, **{k: cur[k] for k in keep}})
+            # follow the run's configs unless explicitly overridden
+            cli = getattr(flags.FLAGS, "_cli_set", set())
+            if "play_data_config" not in cli and "data_config" in saved:
+                F.play_data_config = saved["data_config"]
+            if "play_model_config" not in cli and "model_config" in saved:
+                F.play_model_config = saved["model_config"]
     parse_flags()
 
     # data + model exactly as the training graph (same configs)

@@ -57,7 +57,10 @@ class SequentialAIR:
                 and getattr(timestep, "encoder_type", "mlp") == "mlp"
                 and getattr(timestep, "masked_glimpse", True)
             )
-            remat = "none" if fused_cells_on else "dots"
+            # measured at the paper config (docs/NOTES.md): the fused
+            # kernels carry packed residuals (checkpoint would re-run the
+            # fwd kernels), the flax path is cheapest re-running everything
+            remat = "none" if fused_cells_on else "full"
         self.remat = remat
         self.scan_unroll = scan_unroll
 
