@@ -14,5 +14,9 @@ from sqair_tpu.experiment import flags
 # smaller objects cover fewer pixels: a weaker discovery bias avoids
 # spurious detections, and a tighter output std sharpens the likelihood so
 # small digits are still worth explaining (README:44-51)
-flags.set_default("disc_step_bias", 0.0)
-flags.set_default("output_std", 0.2)
+# smaller digits -> less foreground mass, so each object buys fewer
+# likelihood nats: sharpen the likelihood AND keep discovery encouraged
+# (round-1 finding: output_std too high collapses presence on sparse
+# canvases and the collapse is absorbing, docs/NOTES.md)
+flags.set_default("disc_step_bias", 2.0)
+flags.set_default("output_std", 0.1)

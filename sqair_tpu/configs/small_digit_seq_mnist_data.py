@@ -1,16 +1,19 @@
 """Stress-variant data config: 30%-smaller digits (BASELINE config 4).
 
-Same pipeline as synth_seq_mnist_data.py with obj_size 20 (~70% of 28),
-cf. reference README:44-51.  Uses the native C++ generator when built.
+Font-rendered digit glyphs at obj_size 20 (~70% of the default 28), cf.
+reference README:44-51 ("reducing the size of the digits by about 30%
+requires retuning hyperparameters").  Pair with
+``small_digit_mnist_model.py`` which shifts those defaults.
 """
 from __future__ import annotations
 
-import numpy as np
-
-from sqair_tpu.configs.synth_seq_mnist_data import load as _synth_load
+from sqair_tpu.configs.font_seq_mnist_data import load as _font_load
 from sqair_tpu.experiment import flags
+
+# module level so the retune is active at parse time and lands in the
+# run's flags.json snapshot (resume/eval/rollout rebuild the same data)
+flags.set_default("font_obj_size", 20)
 
 
 def load(batch_size: int, n_timesteps=None):
-    flags.set_default("synth_obj_size", 20)
-    return _synth_load(batch_size, n_timesteps)
+    return _font_load(batch_size, n_timesteps)

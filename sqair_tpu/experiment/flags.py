@@ -22,6 +22,7 @@ class _FlagValues:
         object.__setattr__(self, "_values", {})
         object.__setattr__(self, "_parsed", False)
         object.__setattr__(self, "_cli_set", set())  # names set via parse()
+        object.__setattr__(self, "_tuned", set())  # names moved by set_default
 
     # -- definition ----------------------------------------------------
     def _define(self, name: str, default, help_str: str, ftype):
@@ -109,13 +110,21 @@ def set_default(name: str, value) -> None:
     The current value is updated too unless the user already overrode it
     (by CLI parse or direct assignment) to something other than the old
     default.
+
+    When several config modules retune the same flag, the FIRST one wins:
+    configs are imported model-config-first (experiment_tools.py), so a
+    model variant's retune (e.g. small_digit_mnist_model's output_std)
+    beats a data config's generic default (font_seq_mnist_data's).
     """
     if name not in FLAGS._defs:
         raise KeyError(f"Unknown flag '{name}'")
+    if name in FLAGS._tuned:
+        return
     ftype, old_default, help_str = FLAGS._defs[name]
     FLAGS._defs[name] = (ftype, value, help_str)
-    if FLAGS._values.get(name) == old_default:
+    if FLAGS._values.get(name) == old_default and name not in FLAGS._cli_set:
         FLAGS._values[name] = value
+    FLAGS._tuned.add(name)
 
 
 def reset_for_testing():

@@ -50,8 +50,8 @@ class TestSmallDigitStressConfig:
         import importlib
 
         importlib.reload(small_digit_mnist_model)
-        assert flags.FLAGS._defs["disc_step_bias"][1] == 0.0
-        assert flags.FLAGS._defs["output_std"][1] == 0.2
+        assert flags.FLAGS._defs["disc_step_bias"][1] == 2.0
+        assert flags.FLAGS._defs["output_std"][1] == 0.1
 
     def test_cli_overrides_beat_variant_defaults(self):
         flags.set_default("disc_step_bias", 1.0)  # back to base default
@@ -63,8 +63,8 @@ class TestSmallDigitStressConfig:
 
     def test_rollout_small_digits(self, tmp_path):
         out = _run_rollout(str(tmp_path), [
-            "--synth_train_samples=8", "--synth_valid_samples=4",
-            "--synth_timesteps=3",
+            "--font_train_samples=8", "--font_valid_samples=4",
+            "--font_timesteps=3", "--font_bank_size=8",
             "--data_config=sqair_tpu/configs/small_digit_seq_mnist_data.py",
             "--model_config=sqair_tpu/configs/small_digit_mnist_model.py",
         ])
