@@ -1,3 +1,8 @@
+from .distributed import (
+    global_shard_batch,
+    initialize,
+    replicate_to_mesh,
+)
 from .mesh import (
     DATA_AXIS,
     batch_sharded,

@@ -1,0 +1,77 @@
+"""Measure the CPU baseline anchor for bench.py's vs_baseline ratio.
+
+BASELINE.md: the throughput gate is ">=50x TF1-CPU training throughput",
+and "a TF1-CPU reference throughput must be measured once to anchor the
+ratio".  A TF-1.6/py2 runtime does not exist in this image, so we measure
+the closest strictly-FASTER stand-in: the IDENTICAL train step (same
+paper config, same fixed-dataset sampler — bench.build_step) jitted on
+single-process XLA-CPU.  Graph-mode TF 1.6 on a 2018 CPU cannot beat
+whole-step-fused XLA-CPU on the same model (same BLAS-bound matmuls,
+minus per-op executor dispatch and Python feed overhead), so anchoring to
+this number makes the 50x gate conservative (harder, never easier).
+
+Writes docs/cpu_anchor.json; bench.py reads it at report time.
+
+Usage:  python tools/measure_cpu_anchor.py  [--iters N] [--warmup N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import platform
+import sys
+
+# Force CPU before any jax backend initialises.  The axon sitecustomize
+# sets jax_platforms="axon,cpu" via jax.config at interpreter start
+# (overriding the env var), so we must ALSO update the config after
+# importing jax — mirror of root conftest.py.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=2)
+    args = ap.parse_args()
+
+    devs = jax.devices()
+    assert devs[0].platform == "cpu", devs
+    print(f"measuring on {len(devs)} CPU device(s), "
+          f"{os.cpu_count()} host core(s)", file=sys.stderr)
+
+    step, params, opt_state, rng = bench.build_step()
+    fps, final = bench.measure(step, params, opt_state, rng,
+                               warmup=args.warmup, iters=args.iters)
+
+    out = {
+        "frames_per_sec": round(fps, 2),
+        "method": (
+            "identical paper-config train step (bench.build_step: B=32, "
+            "k=5, T=10, 3 slots, on-device sampler) jitted on "
+            "single-process XLA-CPU; upper bound on TF1.6 graph-mode CPU "
+            "throughput for this model"
+        ),
+        "host_cores": os.cpu_count(),
+        "cpu": platform.processor() or platform.machine(),
+        "iters": args.iters,
+        "final_target": final,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "cpu_anchor.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
