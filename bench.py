@@ -89,9 +89,11 @@ def build_step():
     # iteration, and XLA fuses the sample transpose into its consumers
     import optax
 
-    def _step_body(params, opt_state, rng):
+    dataset_arrays = sampler.arrays()
+
+    def _step_body(params, opt_state, rng, data):
         data_rng, step_rng = jax.random.split(rng)
-        b = sampler(data_rng, B)
+        b = OnDeviceDatasetSampler.sample(data, data_rng, B)
 
         def loss_fn(p):
             target, aux = model.loss_and_metrics(
@@ -106,8 +108,12 @@ def build_step():
 
     from sqair_tpu.ops.fused_cells import jit_compiler_options
 
-    step = jax.jit(_step_body, donate_argnums=(0, 1),
-                   compiler_options=jit_compiler_options())
+    jit_step = jax.jit(_step_body, donate_argnums=(0, 1),
+                       compiler_options=jit_compiler_options())
+
+    def step(params, opt_state, rng):
+        return jit_step(params, opt_state, rng, dataset_arrays)
+
     return step, state.params, state.opt_state, rng
 
 

@@ -128,17 +128,19 @@ def render_sequences(coords, templates, canvas_size, n_timesteps) -> np.ndarray:
 
 def create_seq_dataset(n_samples=1000, n_timesteps=10, canvas_size=(50, 50),
                        obj_size=(28, 28), n_objects=(0, 2), seed=0,
-                       templates: Optional[np.ndarray] = None) -> Dict:
+                       templates: Optional[np.ndarray] = None,
+                       labels: Optional[np.ndarray] = None) -> Dict:
     """Full mirror of create_seq_mnist.py: static -> trajectories -> render.
 
+    :param labels: optional per-template class labels (real-MNIST path)
     :return: dict(imgs [T,N,H,W] uint8, labels, nums [1,N,max+1] uint8,
         coords [T,N,max,4] float)
     """
     if templates is None:
         templates = make_template_bank(max(256, n_samples // 4), obj_size[0], seed)
 
-    data = create_static(templates, canvas_size=canvas_size, n_objects=n_objects,
-                         n_samples=n_samples, seed=seed)
+    data = create_static(templates, labels=labels, canvas_size=canvas_size,
+                         n_objects=n_objects, n_samples=n_samples, seed=seed)
 
     # trajectories seeded at the static coords (create_seq_mnist.py:35-62)
     flat_coords = [c for sample in data["coords"] for c in sample]
@@ -202,8 +204,20 @@ class OnDeviceDatasetSampler:
         self.nums = jnp.asarray(np.swapaxes(nums, 0, 1))  # [N, T, C]
         self.n = self.imgs.shape[0]
 
-    def __call__(self, rng, batch_size: int) -> Dict[str, jnp.ndarray]:
-        idx = jax.random.randint(rng, (batch_size,), 0, self.n)
+    def arrays(self) -> Dict[str, jnp.ndarray]:
+        """Device-resident dataset pytree.  Pass this as a jit ARGUMENT
+        (and sample via the static ``sample``): closing over the arrays
+        bakes the whole dataset into the lowered program as a constant,
+        which blows past remote-compile upload limits for big datasets
+        (observed: 8192 sequences -> 820MB HLO -> HTTP 413 on the axon
+        tunnel)."""
+        return {"imgs": self.imgs, "nums": self.nums}
+
+    @staticmethod
+    def sample(arrays: Dict[str, jnp.ndarray], rng,
+               batch_size: int) -> Dict[str, jnp.ndarray]:
+        n = arrays["imgs"].shape[0]
+        idx = jax.random.randint(rng, (batch_size,), 0, n)
 
         # per-sample dynamic slices: this XLA version fuses whole-batch
         # gathers of [N, T, H, W] into a >16MB scoped-VMEM kernel; 32
@@ -215,7 +229,10 @@ class OnDeviceDatasetSampler:
             ]
             return jnp.swapaxes(jnp.stack(rows, 0), 0, 1)
 
-        return dict(imgs=pick(self.imgs), nums=pick(self.nums))
+        return dict(imgs=pick(arrays["imgs"]), nums=pick(arrays["nums"]))
+
+    def __call__(self, rng, batch_size: int) -> Dict[str, jnp.ndarray]:
+        return self.sample(self.arrays(), rng, batch_size)
 
 
 class OnDeviceSeqMNIST:

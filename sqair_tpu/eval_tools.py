@@ -55,6 +55,25 @@ class MetricWriter:
         self._jsonl.write(json.dumps(record) + "\n")
         self._jsonl.flush()
 
+    def write_histogram(self, step: int, tag: str, values):
+        """Per-variable histogram (reference eval_tools.py:425-452 logs a
+        tf.summary.histogram for every gradient variable)."""
+        if self._tb is not None:
+            self._tb.add_histogram(tag, np.asarray(values).ravel(), step)
+
+    def write_image(self, step: int, tag: str, img):
+        """HW or HWC float image in [0,1] (reference model.py:207-212's
+        tf.summary.image fallback when figure plotting fails)."""
+        if self._tb is None:
+            return
+        img = np.asarray(img, np.float32)
+        img = np.clip(img, 0.0, 1.0)
+        if img.ndim == 2:
+            img = img[None]  # -> CHW
+        elif img.ndim == 3 and img.shape[-1] in (1, 3):
+            img = np.moveaxis(img, -1, 0)
+        self._tb.add_image(tag, img, step)
+
     def close(self):
         self._jsonl.close()
         if self._tb is not None:

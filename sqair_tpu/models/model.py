@@ -116,7 +116,17 @@ class Model:
 
         # optimisation target (model.py:150-160)
         discrete_log_prob = jnp.sum(outputs["discrete_log_prob"], 0)
-        target = targets.vimco(log_weights, discrete_log_prob, elbo_iwae_per_example)
+        if k > 1:
+            target = targets.vimco(log_weights, discrete_log_prob,
+                                   elbo_iwae_per_example)
+        else:
+            # k=1: VIMCO's leave-one-out baseline is undefined (divides by
+            # k-1); fall back to plain REINFORCE on the ELBO.  The
+            # reference has no such guard and NaNs at k=1
+            # (targets.py:46-59) — this makes the k=1 ELBO config
+            # (BASELINE config 1) actually trainable.
+            target = targets.reinforce(log_weights, discrete_log_prob,
+                                       elbo_iwae_per_example)
         target = target / nt
         if l2_weight:
             target = target + targets.l2_reg(params, l2_weight)

@@ -73,6 +73,15 @@ flags.DEFINE_string("gpu", "0", "Unused (TPU build); kept for CLI parity.")
 flags.DEFINE_boolean("debug", False, "Extra logging.")
 flags.DEFINE_boolean("data_parallel", True,
                      "Shard the batch over all local devices.")
+flags.DEFINE_string("coordinator_address", "",
+                    "host:port of process 0 for multi-host training "
+                    "(jax.distributed.initialize). Empty = single process.")
+flags.DEFINE_integer("num_processes", 1, "Total processes (multi-host).")
+flags.DEFINE_integer("process_id", 0, "This process's id (multi-host).")
+flags.DEFINE_boolean("grad_histograms", False,
+                     "Write per-variable gradient histograms to tensorboard "
+                     "at log_itr cadence (reference eval_tools.py:425-452). "
+                     "Compiles one extra grad-only program at first use.")
 flags.DEFINE_boolean("on_device_data", False,
                      "Keep the training set in device memory and sample "
                      "minibatches inside the jitted step (no host round-trip "
@@ -86,6 +95,13 @@ def main(argv=None):
 
     parse_flags()
     F = flags.FLAGS
+
+    # multi-host wiring must precede any jax computation (backend init)
+    from sqair_tpu.parallel import initialize as init_distributed
+
+    if init_distributed(F.coordinator_address, F.num_processes, F.process_id):
+        print(f"multi-host: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global devices")
 
     if F.test_run:  # (experiment.py:78-97)
         F.run_name = "mnist_test"
@@ -148,26 +164,62 @@ def main(argv=None):
         state.opt_state = restored["opt_state"]
         state.step = int(restored["step"])
 
-    n_devices = jax.local_device_count()
+    is_multihost = jax.process_count() > 1
+
+    n_devices = len(jax.devices()) if is_multihost else jax.local_device_count()
     use_dp = F.data_parallel and n_devices > 1 and F.batch_size % n_devices == 0
+    if is_multihost and not use_dp:
+        # silently falling back to per-process single-device training would
+        # just compute the same step N times (and break collective saves)
+        raise ValueError(
+            f"multi-host run needs the data mesh: batch_size={F.batch_size} "
+            f"must be divisible by the {n_devices} global devices and "
+            f"--data_parallel must be on (got {F.data_parallel})"
+        )
     if use_dp:
-        from sqair_tpu.parallel import make_mesh, make_parallel_train_step, shard_batch
+        from sqair_tpu.parallel import (
+            global_shard_batch,
+            make_mesh,
+            make_parallel_train_step,
+            shard_batch,
+        )
 
         mesh = make_mesh()
         print(f"data-parallel over {n_devices} devices")
         train_step = make_parallel_train_step(model, optimizer, mesh, l2_weight=F.l2,
                                               donate=False)
+        # multi-host: every process draws the SAME global batch (the data
+        # pipeline is seeded identically) and places its addressable shards
+        put = global_shard_batch if is_multihost else shard_batch
 
         def shard(b):
             # only the tensors the train step consumes are [T, B, ...]
-            sharded = shard_batch({"imgs": b["imgs"], "nums": b["nums"]}, mesh)
+            sharded = put({"imgs": b["imgs"], "nums": b["nums"]}, mesh)
             return {**b, **sharded}
+
+        if is_multihost:
+            # jit inputs must be GLOBAL arrays in multi-controller mode;
+            # params/opt-state are identical everywhere (same init seed /
+            # same restored checkpoint), so stitch them as replicated
+            from sqair_tpu.parallel import replicate_to_mesh
+
+            state.params = replicate_to_mesh(state.params, mesh)
+            state.opt_state = replicate_to_mesh(state.opt_state, mesh)
+
+            def step_rng_for(itr):
+                return replicate_to_mesh(jax.random.fold_in(rng, itr), mesh)
+        else:
+            def step_rng_for(itr):
+                return jax.random.fold_in(rng, itr)
     else:
         train_step = make_train_step(model, optimizer, F.l2, donate=False,
                                      grad_summaries=F.debug)
 
         def shard(b):
             return b
+
+        def step_rng_for(itr):
+            return jax.random.fold_in(rng, itr)
     device_step_for_len = None
     if F.on_device_data and not use_dp:
         import functools
@@ -183,11 +235,16 @@ def main(argv=None):
         print("on-device data: training set resident in HBM, "
               "sampling inside the jitted step")
 
+        dataset_arrays = sampler.arrays()
+
         @functools.lru_cache(maxsize=None)
         def device_step_for_len(seq_len):  # noqa: F811
-            def body(params, opt_state, rng):
+            # the dataset rides in as a jit ARGUMENT (device-resident, no
+            # per-call transfer) — closing over it would bake it into the
+            # lowered program as a constant (820MB HLO at 8192 sequences)
+            def body(params, opt_state, rng, data):
                 drng, srng = jax.random.split(rng)
-                b = sampler(drng, F.batch_size)
+                b = OnDeviceDatasetSampler.sample(data, drng, F.batch_size)
                 obs = jax.lax.slice_in_dim(b["imgs"], 0, seq_len, axis=0)
                 nums = jax.lax.slice_in_dim(b["nums"], 0, seq_len, axis=0)
 
@@ -207,10 +264,29 @@ def main(argv=None):
 
     from sqair_tpu.training import make_eval_step
 
-    eval_step = make_eval_step(model)
+    if is_multihost and use_dp:
+        # multi-controller: eval inputs must be global arrays too
+        from sqair_tpu.parallel import make_parallel_eval_step
+
+        _par_eval = make_parallel_eval_step(model, mesh)
+
+        def eval_step(params, eval_rng, obs, nums):
+            b = put({"imgs": np.asarray(obs), "nums": np.asarray(nums)}, mesh)
+            from sqair_tpu.parallel import replicate_to_mesh
+
+            return _par_eval(params, replicate_to_mesh(eval_rng, mesh),
+                             b["imgs"], b["nums"])
+    else:
+        eval_step = make_eval_step(model)
 
     # ---------------------------------------------------------- logging
-    writer = MetricWriter(logdir)
+    # multi-host: secondary processes participate in every collective
+    # (same cadence) but write to their own subdir, not the run dir
+    if is_multihost and jax.process_index() != 0:
+        writer = MetricWriter(osp.join(logdir, f"proc{jax.process_index()}"),
+                              use_tb=False)
+    else:
+        writer = MetricWriter(logdir)
     factor = F.eval_size_fraction
     ax = data_dict["axes"]["imgs"]
     train_batches = max(1, int(data_dict["train_data"]["imgs"].shape[ax] * factor / F.batch_size))
@@ -237,11 +313,43 @@ def main(argv=None):
     )
 
     def try_plot(itr):
+        batch = None
         try:
             batch = truncate_batch(next(data_dict["valid_iter"]), stage_len(itr))
             progress_fig.plot_all(itr, batch)
         except Exception as e:  # noqa: BLE001 - plotting must never kill training
             print(f"figure plotting failed: {e}")
+            # fallback: raw render tensors straight to tensorboard images
+            # (reference model.py:207-212 + scripts/experiment.py:194-207)
+            try:
+                if batch is not None:
+                    render = render_fn(batch["imgs"], batch["nums"])
+                    for name in ("obs", "resampled_canvas"):
+                        if name in render:
+                            frames = np.asarray(render[name])[:, 0]
+                            strip = np.concatenate(list(frames), axis=-1)
+                            writer.write_image(itr, f"render/{name}", strip)
+            except Exception as e2:  # noqa: BLE001
+                print(f"image-summary fallback failed too: {e2}")
+
+    grad_fn = None
+
+    def log_grad_histograms(itr):
+        nonlocal grad_fn
+        try:
+            if grad_fn is None:
+                from sqair_tpu.training import make_grad_fn
+
+                grad_fn = make_grad_fn(model, F.l2)
+            b = truncate_batch(next(data_dict["train_iter"]), stage_len(itr))
+            grads = grad_fn(state.params, jax.random.fold_in(rng, itr),
+                            b["imgs"], b["nums"])
+            from sqair_tpu.training.train import named_grad_leaves
+
+            for name, leaf in named_grad_leaves(grads):
+                writer.write_histogram(itr, f"grads/{name}", leaf)
+        except Exception as e:  # noqa: BLE001 - diagnostics must never kill training
+            print(f"gradient histograms failed: {e}")
 
     # ------------------------------------------------------------- loop
     train_itr = state.step
@@ -257,12 +365,13 @@ def main(argv=None):
         sl = stage_len(train_itr)
         if device_step_for_len is not None:
             state.params, state.opt_state, metrics = device_step_for_len(sl)(
-                state.params, state.opt_state, jax.random.fold_in(rng, train_itr)
+                state.params, state.opt_state,
+                jax.random.fold_in(rng, train_itr), dataset_arrays,
             )
         else:
             batch = shard(truncate_batch(next(data_dict["train_iter"]), sl))
             state.params, state.opt_state, metrics = train_step(
-                state.params, state.opt_state, jax.random.fold_in(rng, train_itr),
+                state.params, state.opt_state, step_rng_for(train_itr),
                 batch["imgs"], batch["nums"],
             )
         train_itr += 1
@@ -286,6 +395,8 @@ def main(argv=None):
 
         if train_itr % F.log_itr == 0:
             log(train_itr)
+            if F.grad_histograms:
+                log_grad_histograms(train_itr)
         if train_itr % F.save_itr == 0:
             save_checkpoint(logdir, train_itr, state.as_dict())
         if train_itr % F.fig_itr == 0:

@@ -9,7 +9,9 @@ from .train import (
     TrainState,
     init_train,
     make_eval_step,
+    make_grad_fn,
     make_lr_schedule,
+    named_grad_leaves,
     make_optimizer,
     make_train_step,
 )

@@ -60,8 +60,11 @@ class TrainState:
         self.step = step
 
     def as_dict(self):
+        # step stays a HOST numpy scalar: orbax serialises numpy values as
+        # replicated in multi-process runs, whereas a single-device
+        # jax.Array cannot be saved once jax.distributed is initialised
         return dict(params=self.params, opt_state=self.opt_state,
-                    step=jnp.asarray(self.step))
+                    step=np.asarray(self.step))
 
 
 def gradient_summaries(grads, updates, params) -> dict:
@@ -83,6 +86,36 @@ def gradient_summaries(grads, updates, params) -> dict:
             for name, leaf_tree in sub.items():
                 out[f"grads/norm/{top}.{name}"] = gnorm(leaf_tree)
     return out
+
+
+def make_grad_fn(model: Model, l2_weight: float = 0.0) -> Callable:
+    """Jitted (params, rng, obs, nums) -> gradient pytree.
+
+    Used at log cadence to write per-variable gradient histograms
+    (reference eval_tools.py:425-452 adds a tf.summary.histogram for every
+    gradient variable).  Kept out of the hot train step so the per-step
+    program never transfers full gradient trees to host.
+    """
+
+    def loss_fn(params, rng, obs, nums):
+        target, _ = model.loss_and_metrics(params, rng, obs, nums, l2_weight,
+                                           record_mode="train")
+        return target
+
+    from ..ops.fused_cells import jit_compiler_options
+
+    return jax.jit(jax.grad(loss_fn),
+                   compiler_options=jit_compiler_options())
+
+
+def named_grad_leaves(grads):
+    """Yield ('module.sub.param', leaf) pairs for histogram tags."""
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    for path, leaf in flat:
+        name = ".".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        yield name, leaf
 
 
 def make_train_step(model: Model, optimizer: optax.GradientTransformation,

@@ -61,6 +61,7 @@ class TestSmallDigitStressConfig:
         # explicit user value survives the variant's default shift
         assert flags.FLAGS.disc_step_bias == 2.5
 
+    @pytest.mark.slow
     def test_rollout_small_digits(self, tmp_path):
         out = _run_rollout(str(tmp_path), [
             "--font_train_samples=8", "--font_valid_samples=4",
@@ -84,6 +85,7 @@ class TestPedestrianConfig:
             ys, xs = np.nonzero(t)
             assert np.ptp(ys) > np.ptp(xs)
 
+    @pytest.mark.slow
     def test_rollout_nonsquare(self, tmp_path):
         out = _run_rollout(str(tmp_path), [
             "--ped_train_samples=8", "--ped_valid_samples=4",
@@ -94,6 +96,7 @@ class TestPedestrianConfig:
         assert out["canvas"].shape == (4, 2, 40, 30)
         assert np.isfinite(out["canvas"]).all()
 
+    @pytest.mark.slow
     def test_generation_extends_beyond_data(self, tmp_path):
         """Rollout longer than the dataset's T must work (README:30)."""
         out = _run_rollout(str(tmp_path), [
@@ -107,6 +110,7 @@ class TestPedestrianConfig:
 
 
 class TestConvModelConfig:
+    @pytest.mark.slow
     def test_conv_rollout(self, tmp_path):
         out = _run_rollout(str(tmp_path), [
             "--synth_train_samples=8", "--synth_valid_samples=4",

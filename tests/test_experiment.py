@@ -83,9 +83,14 @@ class TestConfigLoading:
 
 
 class TestRunDirs:
-    def test_init_checkpoint_creates_numbered_dirs(self, tmp_path):
+    def test_init_checkpoint_creates_numbered_dirs(self, tmp_path, monkeypatch):
+        import sys
+
         from sqair_tpu.experiment.experiment_tools import init_checkpoint
 
+        # init_checkpoint asserts every --flag in sys.argv was consumed;
+        # pytest's own options (e.g. --durations=N) must not leak in
+        monkeypatch.setattr(sys, "argv", [sys.argv[0]])
         base = str(tmp_path / "run")
         d1, flags1, resume1 = init_checkpoint(
             base, "sqair_tpu/configs/synth_seq_mnist_data.py",

@@ -13,6 +13,9 @@ import numpy as np
 import pytest
 
 import sqair_tpu.ops.fused_cells as fc
+
+# heavy (interpret-mode Pallas / full variant matrix): slow tier
+pytestmark = pytest.mark.slow
 from sqair_tpu.models import SQAIRTimestep
 from sqair_tpu.ops.distributions import fill_triangular
 

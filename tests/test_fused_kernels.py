@@ -14,6 +14,9 @@ from jax.experimental import pallas as pl
 
 from sqair_tpu.ops import fused, fused_glimpse, stn
 
+# heavy (interpret-mode Pallas / full variant matrix): slow tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def interpret_pallas():

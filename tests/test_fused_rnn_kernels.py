@@ -12,6 +12,9 @@ import pytest
 
 import sqair_tpu.ops.fused as F
 
+# heavy (interpret-mode Pallas / full variant matrix): slow tier
+pytestmark = pytest.mark.slow
+
 B, NIN, U = 8, 23, 16
 
 

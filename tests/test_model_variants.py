@@ -13,6 +13,9 @@ import pytest
 
 from sqair_tpu.models import AIRDecoder, Model, SequentialAIR, SQAIRTimestep
 
+# heavy (interpret-mode Pallas / full variant matrix): slow tier
+pytestmark = pytest.mark.slow
+
 B, T, S, H, GH, NWHAT, NH = 2, 2, 2, 16, 6, 4, 16
 
 

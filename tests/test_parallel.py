@@ -29,6 +29,7 @@ class TestMesh:
         mesh = make_mesh()
         assert mesh.devices.shape == (8,)
 
+    @pytest.mark.slow
     def test_parallel_train_step_runs(self):
         model = tiny_model()
         opt = make_optimizer("adam", 1e-4)
@@ -50,6 +51,7 @@ class TestMesh:
         leaf = jax.tree_util.tree_leaves(params)[0]
         assert leaf.sharding.is_fully_replicated
 
+    @pytest.mark.slow
     def test_parallel_matches_serial(self):
         """Same batch, same rng: sharded step == single-device step."""
         model = tiny_model()

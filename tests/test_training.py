@@ -105,3 +105,37 @@ class TestCheckpoint:
         for a, b in zip(orig, back):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(restored["step"]) == 0
+
+
+class TestGradDiagnostics:
+    def test_make_grad_fn_and_named_leaves(self):
+        from sqair_tpu.training import make_grad_fn, named_grad_leaves
+
+        model = tiny_model()
+        rng = jax.random.PRNGKey(0)
+        obs = jax.random.uniform(jax.random.PRNGKey(1), (T, B, HW, HW))
+        nums = np.zeros((T, B, S + 1), np.float32)
+        nums[:, :, 0] = 1.0
+        params = model.init(rng, obs)
+
+        grads = make_grad_fn(model)(params, rng, obs, jnp.asarray(nums))
+        named = dict(named_grad_leaves(grads))
+        # one entry per parameter leaf, dotted-path tags, finite values
+        assert len(named) == len(jax.tree_util.tree_leaves(grads))
+        assert all("." in k for k in named)
+        for k, v in named.items():
+            assert np.all(np.isfinite(np.asarray(v))), k
+
+
+class TestMetricWriterSinks:
+    def test_histogram_and_image_sinks(self, tmp_path):
+        from sqair_tpu.eval_tools import MetricWriter
+
+        w = MetricWriter(str(tmp_path / "logs"))
+        w.write_histogram(1, "grads/test", np.random.randn(3, 4))
+        w.write_image(1, "render/obs", np.random.rand(16, 48))       # HW
+        w.write_image(1, "render/rgb", np.random.rand(16, 48, 3))    # HWC
+        w.write(1, {"target": 1.0})
+        w.close()
+        # tensorboardX event file materialised (if tb available) + jsonl
+        assert (tmp_path / "logs" / "metrics.jsonl").exists()
