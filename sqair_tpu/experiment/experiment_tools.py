@@ -85,8 +85,15 @@ def get_git_revision_hash() -> str:
 
 
 def init_checkpoint(checkpoint_dir: str, data_config: str, model_config: str,
-                    resume: bool) -> Tuple[str, Dict, Optional[str]]:
-    """Run-dir management (experiment_tools.py:56-132)."""
+                    resume: bool, attach: bool = False
+                    ) -> Tuple[str, Dict, Optional[str]]:
+    """Run-dir management (experiment_tools.py:56-132).
+
+    ``attach=True`` joins the latest existing numbered run dir without
+    creating or writing anything — used by non-zero processes of a
+    multi-host run, which must share process 0's run dir rather than race
+    it for the next number.
+    """
     exists = os.path.exists(checkpoint_dir)
     if not exists:
         if resume:
@@ -101,8 +108,11 @@ def init_checkpoint(checkpoint_dir: str, data_config: str, model_config: str,
                if not f.startswith("_") and f.isdigit()]
     if folders:
         n = int(sorted(folders, key=int)[-1])
-        if not resume:
+        if not resume and not attach:
             n += 1
+    elif attach:
+        raise ValueError(
+            f"attach=True but no run dir exists under '{checkpoint_dir}'")
     else:
         if resume:
             raise ValueError(
@@ -111,7 +121,7 @@ def init_checkpoint(checkpoint_dir: str, data_config: str, model_config: str,
         n = 1
 
     experiment_folder = os.path.join(checkpoint_dir, str(n))
-    if not resume:
+    if not resume and not attach:
         os.mkdir(experiment_folder)
 
     flag_path = os.path.join(experiment_folder, FLAG_FILE)
@@ -133,6 +143,10 @@ def init_checkpoint(checkpoint_dir: str, data_config: str, model_config: str,
         flags.update(restored)
         flags.update(cli_values)
         tf_flags.FLAGS.restore(flags)
+        found = latest_checkpoint(experiment_folder)
+        if found is not None:
+            resume_checkpoint = found[1]
+    elif attach:
         found = latest_checkpoint(experiment_folder)
         if found is not None:
             resume_checkpoint = found[1]

@@ -1490,8 +1490,11 @@ def jit_compiler_options():
     """
     from .fused import use_pallas
 
-    import os
-
-    if not os.environ.get("SQAIR_FUSE_CELLS") or not use_pallas():
+    if not use_pallas():
         return None
+    # Needed whenever ANY Pallas kernel is active, not just the opt-in
+    # frame kernels: the default-on fused MLP stacks (ops/fused.py) are
+    # single-block whole-batch kernels, and the glimpse-decoder MLP's
+    # scoped allocation scales with T*B*k*S rows (measured 18.3MB at
+    # T=8, paper batch — past the 16MB default; T=10 needs ~25MB).
     return {"xla_tpu_scoped_vmem_limit_kib": "49152"}

@@ -49,6 +49,17 @@ def initialize(coordinator_address: Optional[str] = None,
         num_processes=num_processes,
         process_id=process_id,
     )
+    # Establish the all-device collective context NOW, while every process
+    # is still in lockstep.  The first collective triggers a Gloo/NCCL
+    # rendezvous with a ~30s peer timeout; if it instead fired after a
+    # multi-minute jit compile, slow hosts can drift past the window
+    # (observed on a 1-core CPU host: "Gloo context initialization
+    # failed: DEADLINE_EXCEEDED").  This barrier compiles in under a
+    # second, so peers meet well inside the timeout, and later
+    # collectives over the same device set reuse the context.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("sqair_tpu:init")
     return True
 
 

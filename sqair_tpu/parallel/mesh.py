@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.model import Model
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) -> Mesh:
@@ -32,13 +33,41 @@ def make_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) ->
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_multislice_mesh(n_slices: int,
+                         devices: Optional[Sequence] = None) -> Mesh:
+    """2-D (dcn, data) mesh for multi-slice scale-out (SURVEY §5.8).
+
+    Slices are the leading axis so the slow DCN fabric only carries the
+    final cross-slice gradient reduction; the per-slice all-reduce rides
+    ICI.  With pure data parallelism both axes shard the batch — see
+    ``multislice_batch_spec`` — and GSPMD emits a hierarchical
+    reduce-scatter/all-gather matching the mesh topology.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    if len(devices) % n_slices:
+        raise ValueError(f"{len(devices)} devices not divisible into "
+                         f"{n_slices} slices")
+    grid = np.asarray(devices).reshape(n_slices, -1)
+    return Mesh(grid, (DCN_AXIS, DATA_AXIS))
+
+
+def _data_axes(mesh: Mesh):
+    """Mesh axes the batch shards over (both, for a multislice mesh)."""
+    if DCN_AXIS in mesh.axis_names:
+        return (DCN_AXIS, DATA_AXIS)
+    return DATA_AXIS
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
 def batch_sharded(mesh: Mesh, time_major: bool = True) -> NamedSharding:
-    """[T, B, ...] sharded on B (or [B, ...] on axis 0)."""
-    spec = P(None, DATA_AXIS) if time_major else P(DATA_AXIS)
+    """[T, B, ...] sharded on B (or [B, ...] on axis 0).
+
+    On a multislice (dcn, data) mesh the batch shards over BOTH axes."""
+    axes = _data_axes(mesh)
+    spec = P(None, axes) if time_major else P(axes)
     return NamedSharding(mesh, spec)
 
 
@@ -72,11 +101,14 @@ def make_parallel_train_step(model: Model, optimizer: optax.GradientTransformati
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
+    from ..ops.fused_cells import jit_compiler_options
+
     return jax.jit(
         train_step,
         in_shardings=(repl, repl, repl, data, data),
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1) if donate else (),
+        compiler_options=jit_compiler_options(),
     )
 
 
@@ -88,5 +120,7 @@ def make_parallel_eval_step(model: Model, mesh: Mesh) -> Callable:
         _, aux = model.loss_and_metrics(params, rng, obs, nums)
         return aux["metrics"]
 
+    from ..ops.fused_cells import jit_compiler_options
+
     return jax.jit(eval_step, in_shardings=(repl, repl, data, data),
-                   out_shardings=repl)
+                   out_shardings=repl, compiler_options=jit_compiler_options())

@@ -122,9 +122,25 @@ def main(argv=None):
         F.k_particles = 2
 
     logdir = osp.join(F.results_dir, F.run_name)
-    logdir, flag_dict, resume_checkpoint = init_checkpoint(
-        logdir, F.data_config, F.model_config, F.resume
-    )
+    if jax.process_count() > 1:
+        # process 0 creates the run dir; everyone else attaches to it
+        # (racing init_checkpoint would hand each process its own number)
+        from jax.experimental import multihost_utils
+
+        if jax.process_index() == 0:
+            logdir, flag_dict, resume_checkpoint = init_checkpoint(
+                logdir, F.data_config, F.model_config, F.resume
+            )
+            multihost_utils.sync_global_devices("sqair_tpu:rundir")
+        else:
+            multihost_utils.sync_global_devices("sqair_tpu:rundir")
+            logdir, flag_dict, resume_checkpoint = init_checkpoint(
+                logdir, F.data_config, F.model_config, F.resume, attach=True
+            )
+    else:
+        logdir, flag_dict, resume_checkpoint = init_checkpoint(
+            logdir, F.data_config, F.model_config, F.resume
+        )
 
     # ------------------------------------------------------------- data
     data_dict = load(F.data_config, F.batch_size)
@@ -260,7 +276,9 @@ def main(argv=None):
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 return optax.apply_updates(params, updates), opt_state, metrics
 
-            return jax.jit(body)
+            from sqair_tpu.ops.fused_cells import jit_compiler_options
+
+            return jax.jit(body, compiler_options=jit_compiler_options())
 
     from sqair_tpu.training import make_eval_step
 
@@ -359,6 +377,7 @@ def main(argv=None):
         try_plot(train_itr)
 
     report_every = F.report_loss_every
+    last_saved_itr = -1
     t0 = time.time()
     frames_done = 0
     while train_itr < F.train_itr:
@@ -399,6 +418,7 @@ def main(argv=None):
                 log_grad_histograms(train_itr)
         if train_itr % F.save_itr == 0:
             save_checkpoint(logdir, train_itr, state.as_dict())
+            last_saved_itr = train_itr
         if train_itr % F.fig_itr == 0:
             try_plot(train_itr)
         if F.profile_itr and train_itr == F.profile_itr:
@@ -414,7 +434,11 @@ def main(argv=None):
                 jax.block_until_ready(metrics["target"])
             print(f"profiler trace written to {trace_dir}")
 
-    save_checkpoint(logdir, train_itr, state.as_dict())
+    if last_saved_itr != train_itr:
+        # never re-save an existing step: duplicate saves to one path run
+        # the async-write barrier twice, which deadlocks multi-process
+        # runs whose peers are one save apart (orbax barrier id reuse)
+        save_checkpoint(logdir, train_itr, state.as_dict())
     try_plot(train_itr)
     writer.close()
     return logdir, state

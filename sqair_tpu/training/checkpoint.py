@@ -18,9 +18,40 @@ CKPT_PREFIX = "ckpt-"
 
 def save_checkpoint(run_dir: str, step: int, state: Dict[str, Any]) -> str:
     path = os.path.abspath(os.path.join(run_dir, f"{CKPT_PREFIX}{step}"))
+    if jax.process_count() > 1:
+        return _save_checkpoint_multiprocess(path, state)
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(path, state, force=True)
     ckpt.wait_until_finished()
+    return path
+
+
+def _save_checkpoint_multiprocess(path: str, state: Dict[str, Any]) -> str:
+    """Single-writer save for multi-host runs.
+
+    Orbax's default multi-process save synchronises every process through
+    coordinator barriers around the async write; on slow/contended hosts
+    those barriers time out (observed: "_async_write_complete.ckpt-N
+    Barrier timed out" on a 1-core 2-process CPU run).  Our state is
+    fully replicated (params/opt-state come out of the train step with
+    replicated shardings), so nothing is actually distributed about the
+    save: every process materialises the same host values, process 0
+    writes them alone (active_processes={0} -> no orbax barriers), and a
+    plain jax collective — whose gloo context is established at startup,
+    see parallel.distributed.initialize — fences the write.
+    """
+    from jax.experimental import multihost_utils
+
+    host_state = jax.tree_util.tree_map(lambda x: np.asarray(x), state)
+    if jax.process_index() == 0:
+        ckpt = ocp.Checkpointer(
+            ocp.StandardCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0},
+            ),
+        )
+        ckpt.save(path, args=ocp.args.StandardSave(host_state), force=True)
+    multihost_utils.sync_global_devices(f"sqair_tpu:save:{os.path.basename(path)}")
     return path
 
 

@@ -77,3 +77,48 @@ class TestMesh:
         a = jax.tree_util.tree_leaves(p1)[0]
         b = jax.tree_util.tree_leaves(p2)[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+class TestMultisliceMesh:
+    """2-D (dcn, data) mesh (SURVEY §5.8: DCN axis for multi-slice)."""
+
+    def test_mesh_shape_and_batch_spec(self):
+        from sqair_tpu.parallel.mesh import DATA_AXIS, DCN_AXIS, make_multislice_mesh
+
+        mesh = make_multislice_mesh(2)
+        assert mesh.devices.shape == (2, 4)
+        assert mesh.axis_names == (DCN_AXIS, DATA_AXIS)
+
+        from sqair_tpu.parallel import batch_sharded, shard_batch
+
+        sh = batch_sharded(mesh)
+        obs = np.zeros((2, 8, 4, 4), np.float32)
+        out = shard_batch({"obs": obs}, mesh)["obs"]
+        assert out.sharding.is_equivalent_to(sh, 4)
+        # every device holds B/8 examples
+        assert out.addressable_shards[0].data.shape == (2, 1, 4, 4)
+
+    def test_rejects_indivisible(self):
+        from sqair_tpu.parallel.mesh import make_multislice_mesh
+
+        with pytest.raises(ValueError):
+            make_multislice_mesh(3)
+
+    @pytest.mark.slow
+    def test_train_step_on_multislice_mesh(self):
+        from sqair_tpu.parallel.mesh import make_multislice_mesh
+
+        model = tiny_model()
+        opt = make_optimizer("sgd", 1e-3)
+        mesh = make_multislice_mesh(2)
+        rng = jax.random.PRNGKey(0)
+        obs = jax.random.uniform(jax.random.PRNGKey(1), (T, B, HW, HW))
+        nums = jnp.concatenate([jnp.ones((T, B, 1)), jnp.zeros((T, B, S))], -1)
+        state = init_train(model, opt, rng, obs)
+
+        step = make_parallel_train_step(model, opt, mesh, donate=False)
+        batch = shard_batch({"obs": obs, "nums": nums}, mesh)
+        params, _, metrics = step(state.params, state.opt_state, rng,
+                                  batch["obs"], batch["nums"])
+        assert np.isfinite(float(metrics["target"]))
+        assert jax.tree_util.tree_leaves(params)[0].sharding.is_fully_replicated
