@@ -119,6 +119,36 @@ class TestRunDirs:
         with pytest.raises(ValueError):
             init_checkpoint(str(tmp_path / "nope"), "a", "b", resume=True)
 
+    def test_attach_joins_latest_without_writing(self, tmp_path, monkeypatch):
+        """attach=True (multi-host non-zero processes) must join the
+        newest numbered run dir, not create run dir n+1."""
+        import sys
+
+        from sqair_tpu.experiment.experiment_tools import init_checkpoint
+
+        monkeypatch.setattr(sys, "argv", [sys.argv[0]])
+        base = str(tmp_path / "run")
+        d1, _, _ = init_checkpoint(
+            base, "sqair_tpu/configs/synth_seq_mnist_data.py",
+            "sqair_tpu/configs/mlp_mnist_model.py", resume=False,
+        )
+        before = sorted(os.listdir(base))
+
+        d_att, flags_att, resume_att = init_checkpoint(
+            base, "sqair_tpu/configs/synth_seq_mnist_data.py",
+            "sqair_tpu/configs/mlp_mnist_model.py", resume=False, attach=True,
+        )
+        assert d_att == d1 and resume_att is None
+        assert sorted(os.listdir(base)) == before  # nothing new created
+
+    def test_attach_without_dir_raises(self, tmp_path):
+        from sqair_tpu.experiment.experiment_tools import init_checkpoint
+
+        os.makedirs(str(tmp_path / "empty"))
+        with pytest.raises(ValueError):
+            init_checkpoint(str(tmp_path / "empty"), "a", "b",
+                            resume=False, attach=True)
+
 
 def test_resume_cli_flags_override_snapshot(tmp_path):
     """A resumed run must honour explicit CLI flags (e.g. extended
