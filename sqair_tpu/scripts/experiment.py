@@ -378,9 +378,34 @@ def main(argv=None):
 
     report_every = F.report_loss_every
     last_saved_itr = -1
+
+    # Preemption safety (reference: tf.Supervisor saved on stop,
+    # scripts/experiment.py:176): SIGTERM/SIGINT request a graceful stop;
+    # the loop breaks at the next iteration boundary and the final-save
+    # path below checkpoints whatever step was reached.  Single-process
+    # only — in distributed runs jax's own preemption notifier owns
+    # SIGTERM, and a lone process saving mid-collective would deadlock.
+    stop_signal = {"num": None}
+    prev_handlers = {}
+    if jax.process_count() == 1:
+        import signal
+
+        def _graceful_stop(signum, frame):
+            stop_signal["num"] = signum
+
+        try:
+            for s in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[s] = signal.signal(s, _graceful_stop)
+        except ValueError:  # not the main thread (in-process tests)
+            prev_handlers = {}
+
     t0 = time.time()
     frames_done = 0
     while train_itr < F.train_itr:
+        if stop_signal["num"] is not None:
+            print(f"signal {stop_signal['num']}: stopping at iter "
+                  f"{train_itr}, saving checkpoint")
+            break
         sl = stage_len(train_itr)
         if device_step_for_len is not None:
             state.params, state.opt_state, metrics = device_step_for_len(sl)(
@@ -433,6 +458,12 @@ def main(argv=None):
                     )
                 jax.block_until_ready(metrics["target"])
             print(f"profiler trace written to {trace_dir}")
+
+    if prev_handlers:
+        import signal
+
+        for s, h in prev_handlers.items():
+            signal.signal(s, h)
 
     if last_saved_itr != train_itr:
         # never re-save an existing step: duplicate saves to one path run
