@@ -143,7 +143,41 @@ def measure(step, params, opt_state, rng, warmup=WARMUP, iters=ITERS):
     return iters * T * B / dt, final
 
 
+def _devices_reachable(timeout_s: float = 120.0) -> bool:
+    """Probe jax backend init in a subprocess with a hard timeout.
+
+    Over the tunnelled-TPU setup a wedged tunnel makes jax.devices()
+    block forever (observed: hang during a stage recompile took the
+    whole backend down; fresh processes hung in jax.devices()).  A
+    benchmark that can hang is worse than one that reports failure, so
+    probe first and emit a diagnosable JSON line instead of hanging.
+    """
+    import subprocess
+    import sys
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return p.returncode == 0 and int((p.stdout.strip() or "0")) >= 1
+    except (subprocess.TimeoutExpired, ValueError):
+        return False
+
+
 def main():
+    if not _devices_reachable():
+        print(json.dumps({
+            "metric": "moving-MNIST train throughput (k=5 VIMCO, T=10, B=32)",
+            "value": 0.0,
+            "unit": "frames/sec/chip",
+            "vs_baseline": 0.0,
+            "error": "device backend unreachable (jax.devices() timed out "
+                     "in a 120s subprocess probe) — TPU tunnel down, not a "
+                     "model regression",
+        }))
+        return
+
     import jax
 
     n_chips = len(jax.devices())
