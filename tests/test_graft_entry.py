@@ -1,0 +1,69 @@
+"""Driver-facing entry points (`__graft_entry__.py`).
+
+The critical property, per two rounds of driver failures: `dryrun_multichip`
+must complete even when the TPU backend is wedged, because the parent
+process must never touch jax at all — it re-execs into a virtual-CPU child
+unconditionally. We simulate "any parent-side jax access hangs/fails" by
+poisoning `sys.modules['jax']` in the parent: if the parent imports jax or
+calls any jax attribute (e.g. `jax.devices()`, which hung forever on the
+wedged tunnel), the test fails loudly instead of hanging.
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Runs dryrun_multichip(8) with a poisoned parent-side jax. The child is a
+# fresh interpreter (clean sys.modules), so the real path still runs there.
+_PARENT_CODE = """
+import sys, types
+
+poison = types.ModuleType("jax")
+def _boom(name):
+    raise RuntimeError("parent process touched jax." + name +
+                       " (would hang on a wedged TPU tunnel)")
+poison.__getattr__ = _boom
+sys.modules["jax"] = poison
+
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+print("PARENT_OK")
+"""
+
+
+def test_dryrun_multichip_never_touches_jax_in_parent():
+    env = dict(os.environ)
+    # Start from a clean slate: no inherited platform forcing, exactly as
+    # the driver would invoke it (it sets its own XLA_FLAGS; both cases
+    # must work).
+    env.pop("_SQAIR_DRYRUN_CHILD", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _PARENT_CODE],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    )
+    assert "PARENT_OK" in proc.stdout
+    assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout
+
+
+@pytest.mark.slow
+def test_entry_compiles_single_device():
+    import jax
+
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert float(out[0]) == float(out[0])  # finite-ish: not NaN check below
+    import numpy as np
+
+    assert np.isfinite(float(out[0]))
