@@ -7,12 +7,14 @@ Baseline anchor: the reference publishes no numbers (BASELINE.md); the
 acceptance gate is >=50x TF1-CPU training throughput.  The anchor is
 MEASURED, not assumed: `tools/measure_cpu_anchor.py` runs this exact
 train step (same paper config, same fixed-dataset sampler) single-process
-on XLA-CPU and records frames/sec in `docs/cpu_anchor.json`.  Jitted
-XLA-CPU is a strict upper bound on TF-1.6 graph-mode CPU throughput for
-this model (same BLAS-bound matmuls, but whole-step fusion and no
-per-op graph-executor dispatch), so 50x the measured number is a
-conservative (hard) gate.  If the anchor file is missing we fall back to
-the round-1 assumption of 100 frames/sec TF1-CPU.
+on XLA-CPU and records frames/sec in `docs/cpu_anchor.json`.  Per core,
+jitted XLA-CPU upper-bounds TF-1.6 graph-mode CPU throughput for this
+model (same BLAS-bound matmuls, but whole-step fusion and no per-op
+graph-executor dispatch); this host has limited cores (recorded in the
+anchor file), so the anchor is scaled by an assumed reference-workstation
+core count — see `docs/cpu_anchor.json` and docs/NOTES.md for the
+full accounting.  If the anchor file is missing we fall back to the
+round-1 assumption of 100 frames/sec TF1-CPU.
 """
 from __future__ import annotations
 
@@ -28,10 +30,22 @@ _ASSUMED_CPU_FPS = 100.0  # round-1 fallback only (see module docstring)
 
 
 def load_anchor():
-    """Return (cpu_frames_per_sec, method_string)."""
+    """Return (cpu_frames_per_sec, method_string).
+
+    Prefers the core-scaled gate anchor (measured per-core XLA-CPU x an
+    assumed 8-core-workstation factor — see tools/measure_cpu_anchor.py),
+    which is the HARDER gate; falls back to the raw measurement, then to
+    the round-1 assumption.
+    """
     try:
         with open(_ANCHOR_FILE) as f:
             a = json.load(f)
+        if "gate_anchor_frames_per_sec" in a:
+            return (
+                float(a["gate_anchor_frames_per_sec"]),
+                "measured per-core XLA-CPU, scaled to an assumed 8-core "
+                "reference workstation (see docs/cpu_anchor.json)",
+            )
         return float(a["frames_per_sec"]), a.get("method", "measured")
     except (OSError, KeyError, ValueError):
         return _ASSUMED_CPU_FPS, "assumed (anchor file missing)"
@@ -124,6 +138,9 @@ def measure(step, params, opt_state, rng, warmup=WARMUP, iters=ITERS):
     """
     import jax
 
+    # `metrics` from the last warmup step is the sync point below; a
+    # warmup-less run would leave it unbound (and time compilation).
+    assert warmup >= 1, "measure() requires warmup >= 1"
     for i in range(warmup):
         params, opt_state, metrics = step(
             params, opt_state, jax.random.fold_in(rng, 1000 + i)
@@ -166,17 +183,24 @@ def _devices_reachable(timeout_s: float = 120.0) -> bool:
 
 
 def main():
+    # Two probes with a backoff between them, so a transient tunnel blip
+    # doesn't zero a whole round's benchmark record (round 2 recorded 0.0).
     if not _devices_reachable():
-        print(json.dumps({
-            "metric": "moving-MNIST train throughput (k=5 VIMCO, T=10, B=32)",
-            "value": 0.0,
-            "unit": "frames/sec/chip",
-            "vs_baseline": 0.0,
-            "error": "device backend unreachable (jax.devices() timed out "
-                     "in a 120s subprocess probe) — TPU tunnel down, not a "
-                     "model regression",
-        }))
-        return
+        import sys
+
+        print("first device probe failed; retrying in 60s", file=sys.stderr)
+        time.sleep(60.0)
+        if not _devices_reachable():
+            print(json.dumps({
+                "metric": "moving-MNIST train throughput (k=5 VIMCO, T=10, B=32)",
+                "value": 0.0,
+                "unit": "frames/sec/chip",
+                "vs_baseline": 0.0,
+                "error": "device backend unreachable (jax.devices() timed "
+                         "out in two 120s subprocess probes 60s apart) — "
+                         "TPU tunnel down, not a model regression",
+            }))
+            sys.exit(1)  # distinguish failure from a measured result
 
     import jax
 
@@ -197,8 +221,9 @@ def main():
         "baseline_anchor": {
             "cpu_frames_per_sec": round(anchor_fps, 2),
             "method": anchor_method,
-            "gate": "50x TF1-CPU; anchored to measured XLA-CPU (upper "
-                    "bound on TF1-CPU) per BASELINE.md",
+            "gate": "50x TF1-CPU; anchored to measured per-core XLA-CPU "
+                    "scaled to an assumed 8-core reference workstation "
+                    "(docs/cpu_anchor.json) per BASELINE.md",
         },
     }))
 

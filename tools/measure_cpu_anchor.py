@@ -52,15 +52,40 @@ def main():
     fps, final = bench.measure(step, params, opt_state, rng,
                                warmup=args.warmup, iters=args.iters)
 
+    # Core-count accounting (ADVICE r2 / VERDICT r2 #6): this measurement
+    # upper-bounds TF1.6 PER CORE, but the reference would have run on a
+    # multi-core 2018 workstation.  If this host has few cores (the graft
+    # host has 1), scale the anchor by an assumed reference machine:
+    # 8 cores x 0.5 TF1 intra-op parallel efficiency on this model (tiny
+    # sequential matmuls + per-op executor dispatch make linear scaling
+    # impossible; 0.5 at 8 cores is generous to TF1).  The gate uses the
+    # SCALED number, so the 50x bar is the harder of the two.
+    host_cores = os.cpu_count() or 1
+    assumed_ref_cores = 8
+    assumed_tf1_parallel_eff = 0.5
+    scale = max(1.0, assumed_ref_cores * assumed_tf1_parallel_eff / host_cores)
     out = {
         "frames_per_sec": round(fps, 2),
+        "gate_anchor_frames_per_sec": round(fps * scale, 2),
+        "anchor_scaling": {
+            "host_cores": host_cores,
+            "assumed_ref_cores": assumed_ref_cores,
+            "assumed_tf1_parallel_efficiency": assumed_tf1_parallel_eff,
+            "scale": scale,
+            "note": (
+                "measured on a host with too few cores to run a "
+                "multi-threaded anchor directly; gate anchor = measured "
+                "per-core XLA-CPU x assumed reference-workstation "
+                "multi-core factor (conservative: favors TF1)"
+            ),
+        },
         "method": (
             "identical paper-config train step (bench.build_step: B=32, "
             "k=5, T=10, 3 slots, on-device sampler) jitted on "
-            "single-process XLA-CPU; upper bound on TF1.6 graph-mode CPU "
-            "throughput for this model"
+            "single-process XLA-CPU; per-core upper bound on TF1.6 "
+            "graph-mode CPU throughput for this model"
         ),
-        "host_cores": os.cpu_count(),
+        "host_cores": host_cores,
         "cpu": platform.processor() or platform.machine(),
         "iters": args.iters,
         "final_target": final,
