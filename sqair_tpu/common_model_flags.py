@@ -34,6 +34,13 @@ flags.DEFINE_float("output_std", 0.3, "Std dev of Gaussian p(x|z).")
 flags.DEFINE_integer("n_units", 8, "Hidden width in units of 32 neurons (8 -> 256).")
 flags.DEFINE_integer("n_what", 50, "Dimensionality of `what` variables.")
 
+flags.DEFINE_float("aspect_penalty", 0.0,
+                   "Weight of a squared-log-aspect-ratio penalty on present "
+                   "glimpses (discourages degenerate narrow boxes, e.g. the "
+                   "conv family carving one glyph into vertical slivers — "
+                   "docs/NOTES.md). 0 disables. New vs the reference: it has "
+                   "no such regulariser.")
+
 
 def get_params():
     """(common_model_flags.py:59-71) — same values, sane types."""

@@ -64,4 +64,4 @@ def load(img, coords=None, num=None, mean_img=None, debug=False) -> Model:
         sample_from_prior=F.sample_from_prior,
         generate_after=F.generate_after,
     )
-    return Model(seq, k_particles=F.k_particles)
+    return Model(seq, k_particles=F.k_particles, aspect_penalty=F.aspect_penalty)

@@ -19,9 +19,16 @@ from .seq import SequentialAIR
 class Model:
     """IWAE/VIMCO training wrapper around SequentialAIR."""
 
-    def __init__(self, sequence: SequentialAIR, k_particles: int = 5):
+    def __init__(self, sequence: SequentialAIR, k_particles: int = 5,
+                 aspect_penalty: float = 0.0):
+        """:param aspect_penalty: weight of a squared-log-aspect penalty on
+            present glimpses — discourages degenerate narrow boxes (the conv
+            family's vertical-sliver over-segmentation, docs/NOTES.md).
+            Applied in both record modes; 0 disables.
+        """
         self.sequence = sequence
         self.k_particles = k_particles
+        self.aspect_penalty = aspect_penalty
 
     def init(self, rng, obs):
         tiled = indexing.tile_input_for_iwae(obs, self.k_particles, with_time=True)
@@ -130,6 +137,19 @@ class Model:
         target = target / nt
         if l2_weight:
             target = target + targets.l2_reg(params, l2_weight)
+        if self.aspect_penalty and "where" in outputs:
+            # where logits [T, B*k, S, 4]: (scale_y, scale_x, shift_y,
+            # shift_x); presence [T, B*k, S, 1] in {0,1}.  Mean squared
+            # log-aspect over PRESENT objects; gradient flows through the
+            # reparameterised where sample into the posterior.
+            wh = outputs["where"]
+            pres = jax.lax.stop_gradient(outputs["presence"])  # [T, B*k, S]
+            log_aspect = (jax.nn.log_sigmoid(wh[..., 0])
+                          - jax.nn.log_sigmoid(wh[..., 1]))
+            sq = jnp.sum(log_aspect ** 2 * pres)
+            aspect = sq / jnp.maximum(jnp.sum(pres), 1.0)
+            target = target + self.aspect_penalty * aspect
+            metrics["aspect"] = aspect
         metrics["target"] = target
 
         # resampled tensors for rendering (model.py:137-148)

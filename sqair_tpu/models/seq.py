@@ -271,6 +271,12 @@ class SequentialAIR:
             zw = outputs.pop("z_what")
             zwh = outputs.pop("z_where")
             zp = outputs.pop("z_presence")
+            # expose under the full-record names (and shapes: presence is
+            # squeezed like the full record's) so regularisers (e.g. the
+            # aspect penalty, models/model.py) see the same fields in both
+            # record modes
+            outputs["where"] = zwh
+            outputs["presence"] = zp[..., 0]
 
             lp = self.timestep.apply(
                 params["timestep"], jax.random.PRNGKey(0),

@@ -138,6 +138,37 @@ class TestModelWrapper:
             )
         assert aux_train["render"] == {}
 
+    def test_aspect_penalty(self, built, model):
+        """Penalty is positive, reduces to target + w*aspect, and is
+        identical across record modes (the where/presence fields agree)."""
+        seq, params, obs = built
+        m0, _, _ = model
+        w = 0.7
+        m_pen = Model(seq, k_particles=3, aspect_penalty=w)
+
+        rng = jax.random.PRNGKey(11)
+        t0, aux0 = m0.loss_and_metrics(params, rng, obs)
+        t1, aux1 = m_pen.loss_and_metrics(params, rng, obs)
+        aspect = float(aux1["metrics"]["aspect"])
+        assert aspect >= 0.0
+        np.testing.assert_allclose(float(t1), float(t0) + w * aspect,
+                                   rtol=1e-5)
+
+        t_train, aux_train = m_pen.loss_and_metrics(params, rng, obs,
+                                                    record_mode="train")
+        np.testing.assert_allclose(float(t1), float(t_train), rtol=1e-6)
+        np.testing.assert_allclose(
+            aspect, float(aux_train["metrics"]["aspect"]), rtol=1e-5)
+
+        # gradient flows through the penalty into the posterior params
+        def loss(p):
+            t, _ = m_pen.loss_and_metrics(p, rng, obs, record_mode="train")
+            return t
+
+        grads = jax.grad(loss)(params)
+        assert all(np.all(np.isfinite(np.asarray(g)))
+                   for g in jax.tree_util.tree_leaves(grads))
+
     def test_iwae_geq_vae_on_average(self, model):
         m, params, obs = model
         _, aux = m.loss_and_metrics(params, jax.random.PRNGKey(4), obs)
