@@ -1492,6 +1492,13 @@ def jit_compiler_options():
 
     if not use_pallas():
         return None
+    # the options below are TPU-only: on other backends (e.g. interpret-
+    # mode kernels forced onto the CPU mesh in tests) XLA rejects them
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return None
+    except Exception:  # pragma: no cover
+        return None
     # Needed whenever ANY Pallas kernel is active, not just the opt-in
     # frame kernels: the default-on fused MLP stacks (ops/fused.py) are
     # single-block whole-batch kernels, and the glimpse-decoder MLP's

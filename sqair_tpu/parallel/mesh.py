@@ -77,13 +77,44 @@ def shard_batch(batch, mesh: Mesh, time_major: bool = True):
     return jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), sh), batch)
 
 
+def _fused_kernels_active() -> bool:
+    """True when the opt-in whole-frame Pallas kernels would run."""
+    import os
+
+    from ..ops import fused
+
+    return bool(os.environ.get("SQAIR_FUSE_CELLS")) and fused.use_pallas()
+
+
+def _shard_index(axes):
+    """Linear index of this device along the batch-sharding mesh axes."""
+    from jax import lax
+
+    if isinstance(axes, tuple):
+        return (lax.axis_index(axes[0]) * lax.psum(1, axes[1])
+                + lax.axis_index(axes[1]))
+    return lax.axis_index(axes)
+
+
 def make_parallel_train_step(model: Model, optimizer: optax.GradientTransformation,
                              mesh: Mesh, l2_weight: float = 0.0,
-                             donate: bool = True) -> Callable:
+                             donate: bool = True,
+                             use_shard_map: Optional[bool] = None) -> Callable:
     """SPMD train step: params/opt-state replicated, batch sharded.
 
-    XLA inserts the gradient all-reduce over ICI because the replicated
-    output params must agree across shards (GSPMD).
+    Two sharding strategies, same contract:
+
+    - GSPMD (default): one logical program; XLA inserts the gradient
+      all-reduce over ICI because the replicated output params must agree
+      across shards.
+    - shard_map (auto-selected when the fused Pallas frame kernels are
+      active, or forced with ``use_shard_map=True``): `pallas_call` has no
+      GSPMD partitioning rule, so under plain pjit the fused kernels force
+      silent replication of the batch.  Under `shard_map` each device runs
+      the kernels on its LOCAL batch shard and the gradient reduction is
+      an explicit `lax.pmean` over the data axes (both axes of a
+      multislice mesh, hierarchical: ICI first, DCN once).  The per-shard
+      RNG folds in the shard index so shards draw independent latents.
     """
     repl = replicated(mesh)
     data = batch_sharded(mesh)
@@ -93,15 +124,44 @@ def make_parallel_train_step(model: Model, optimizer: optax.GradientTransformati
                                              record_mode="train")
         return target, aux["metrics"]
 
-    def train_step(params, opt_state, rng, obs, nums):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, rng, obs, nums
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
-
     from ..ops.fused_cells import jit_compiler_options
+
+    if use_shard_map is None:
+        use_shard_map = _fused_kernels_active() and mesh.size > 1
+
+    if use_shard_map:
+        from jax import lax
+
+        axes = _data_axes(mesh)
+
+        def local_step(params, opt_state, rng, obs, nums):
+            rng = jax.random.fold_in(rng, _shard_index(axes))
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, rng, obs, nums
+            )
+            grads = lax.pmean(grads, axis_name=axes)
+            metrics = jax.tree_util.tree_map(
+                lambda m: lax.pmean(m, axis_name=axes), metrics
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        batch_spec = P(None, axes)
+        train_step = jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), P(), P(), batch_spec, batch_spec),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    else:
+        def train_step(params, opt_state, rng, obs, nums):
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, rng, obs, nums
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
 
     return jax.jit(
         train_step,
@@ -112,15 +172,38 @@ def make_parallel_train_step(model: Model, optimizer: optax.GradientTransformati
     )
 
 
-def make_parallel_eval_step(model: Model, mesh: Mesh) -> Callable:
+def make_parallel_eval_step(model: Model, mesh: Mesh,
+                            use_shard_map: Optional[bool] = None) -> Callable:
     repl = replicated(mesh)
     data = batch_sharded(mesh)
 
-    def eval_step(params, rng, obs, nums):
-        _, aux = model.loss_and_metrics(params, rng, obs, nums)
-        return aux["metrics"]
-
     from ..ops.fused_cells import jit_compiler_options
+
+    if use_shard_map is None:
+        use_shard_map = _fused_kernels_active() and mesh.size > 1
+
+    if use_shard_map:
+        from jax import lax
+
+        axes = _data_axes(mesh)
+
+        def local_eval(params, rng, obs, nums):
+            rng = jax.random.fold_in(rng, _shard_index(axes))
+            _, aux = model.loss_and_metrics(params, rng, obs, nums)
+            return jax.tree_util.tree_map(
+                lambda m: lax.pmean(m, axis_name=axes), aux["metrics"]
+            )
+
+        batch_spec = P(None, axes)
+        eval_step = jax.shard_map(
+            local_eval, mesh=mesh,
+            in_specs=(P(), P(), batch_spec, batch_spec),
+            out_specs=P(), check_vma=False,
+        )
+    else:
+        def eval_step(params, rng, obs, nums):
+            _, aux = model.loss_and_metrics(params, rng, obs, nums)
+            return aux["metrics"]
 
     return jax.jit(eval_step, in_shardings=(repl, repl, data, data),
                    out_shardings=repl, compiler_options=jit_compiler_options())

@@ -1,0 +1,151 @@
+"""Fused Pallas kernels under a multi-device mesh (VERDICT r2 #5).
+
+`pallas_call` has no GSPMD partitioning rule, so under plain pjit the
+fused whole-frame kernels silently force batch replication.  The fix is a
+`shard_map` train/eval step (parallel/mesh.py) that runs the kernels on
+per-device LOCAL shards with an explicit `lax.pmean` gradient reduction.
+Tests here, on the 8-device virtual CPU mesh:
+
+1. an exact oracle for the shard_map semantics on the (cheap) unfused
+   path: per-shard grads with the shard-folded rng, averaged by hand,
+   must reproduce the shard_map step's update bit-for-bit (up to float
+   reassociation);
+2. the fused kernels (interpret mode) actually run and train under
+   shard_map on both the 1-D data mesh and the 2-D (dcn, data) multislice
+   mesh;
+3. the auto-switch: fused-active + multi-device mesh selects shard_map.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from sqair_tpu.models import AIRDecoder, Model, SequentialAIR, SQAIRTimestep
+from sqair_tpu.ops import fused, fused_cells as fc
+from sqair_tpu.parallel import make_mesh, make_parallel_train_step, shard_batch
+from sqair_tpu.parallel.mesh import (
+    _fused_kernels_active,
+    make_multislice_mesh,
+    make_parallel_eval_step,
+)
+from sqair_tpu.training import init_train, make_optimizer
+
+B, T, S, HW, NWHAT, NH = 8, 2, 2, 16, 4, 16
+
+
+def tiny_model(k=2):
+    timestep = SQAIRTimestep(
+        n_steps=S, img_size=(HW, HW), glimpse_size=(6, 6), n_what=NWHAT,
+        n_hidden=NH, steps_pred_hidden=[8],
+    )
+    decoder = AIRDecoder(
+        img_size=(HW, HW), glimpse_size=(6, 6), glimpse_n_hiddens=[NH],
+        mean_img=np.zeros((HW, HW), np.float32),
+    )
+    return Model(SequentialAIR(timestep, decoder), k_particles=k)
+
+
+def _batch(rng_seed=1):
+    obs = jax.random.uniform(jax.random.PRNGKey(rng_seed), (T, B, HW, HW))
+    nums = jnp.concatenate([jnp.ones((T, B, 1)), jnp.zeros((T, B, S))], -1)
+    return obs, nums
+
+
+@pytest.fixture
+def fused_on(monkeypatch):
+    """Force the fused path as it would be on TPU, but in interpret mode
+    (fused_cells has its own flag; fused.py/fused_glimpse.py kernels are
+    forced through a pallas_call wrapper, same as test_fused_rnn_kernels)."""
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setenv("SQAIR_FUSE_CELLS", "1")
+    monkeypatch.setattr(fused, "use_pallas", lambda: True)
+    monkeypatch.setattr(fc, "_INTERPRET", True)
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+
+
+def test_auto_switch_detection(monkeypatch):
+    monkeypatch.delenv("SQAIR_FUSE_CELLS", raising=False)
+    assert not _fused_kernels_active()
+    monkeypatch.setenv("SQAIR_FUSE_CELLS", "1")
+    monkeypatch.setattr(fused, "use_pallas", lambda: True)
+    assert _fused_kernels_active()
+
+
+@pytest.mark.slow
+def test_shard_map_matches_per_shard_oracle():
+    """shard_map step == hand-computed pmean of per-shard grad steps."""
+    model = tiny_model()
+    opt = make_optimizer("sgd", 1e-3)
+    mesh = make_mesh()
+    n = mesh.size
+    rng = jax.random.PRNGKey(0)
+    obs, nums = _batch()
+    state = init_train(model, opt, rng, obs)
+
+    step = make_parallel_train_step(model, opt, mesh, donate=False,
+                                    use_shard_map=True)
+    batch = shard_batch({"obs": obs, "nums": nums}, mesh)
+    p_sm, _, m_sm = step(state.params, state.opt_state, rng,
+                         batch["obs"], batch["nums"])
+
+    # oracle: same math on one device, shard by shard
+    def loss_fn(params, r, o, m):
+        target, aux = model.loss_and_metrics(params, r, o, m, 0.0,
+                                             record_mode="train")
+        return target, aux["metrics"]
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    local = B // n
+    grads_acc, target_acc = None, 0.0
+    for s in range(n):
+        r_s = jax.random.fold_in(rng, s)
+        o_s = obs[:, s * local:(s + 1) * local]
+        m_s = nums[:, s * local:(s + 1) * local]
+        (_, metrics_s), g_s = grad_fn(state.params, r_s, o_s, m_s)
+        target_acc += float(metrics_s["target"]) / n
+        grads_acc = g_s if grads_acc is None else jax.tree_util.tree_map(
+            jnp.add, grads_acc, g_s)
+    grads_mean = jax.tree_util.tree_map(lambda g: g / n, grads_acc)
+    updates, _ = opt.update(grads_mean, state.opt_state, state.params)
+    p_oracle = optax.apply_updates(state.params, updates)
+
+    np.testing.assert_allclose(float(m_sm["target"]), target_acc, rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_sm),
+                    jax.tree_util.tree_leaves(p_oracle)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mesh_fn", [make_mesh,
+                                     functools.partial(make_multislice_mesh, 2)])
+def test_fused_kernels_train_under_shard_map(fused_on, mesh_fn):
+    model = tiny_model()
+    opt = make_optimizer("sgd", 1e-3)
+    mesh = mesh_fn()
+    rng = jax.random.PRNGKey(0)
+    obs, nums = _batch()
+    state = init_train(model, opt, rng, obs)
+
+    # fused active + multi-device mesh -> the factory must choose shard_map
+    # on its own (use_shard_map left as None)
+    step = make_parallel_train_step(model, opt, mesh, donate=False)
+    batch = shard_batch({"obs": obs, "nums": nums}, mesh)
+    params, _, metrics = step(state.params, state.opt_state, rng,
+                              batch["obs"], batch["nums"])
+    assert np.isfinite(float(metrics["target"]))
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    assert leaf.sharding.is_fully_replicated
+    # the step actually updated the params
+    before = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.allclose(np.asarray(leaf), np.asarray(before))
+
+    eval_step = make_parallel_eval_step(model, mesh)
+    m2 = eval_step(params, rng, batch["obs"], batch["nums"])
+    assert np.isfinite(float(m2["target"]))
