@@ -62,16 +62,24 @@ def load_scaled_gate_anchor():
 # B=32, k=5, 3 slots, n_what=50, 256-wide MLPs, T=10 at end of curriculum
 T, B, K, S, H, G, NWHAT, NH = 10, 32, 5, 3, 50, 20, 50, 256
 WARMUP, ITERS = 3, 50
+# steps chained inside one jit dispatch: over the tunnelled TPU every
+# dispatch costs ~1ms of host/tunnel latency that an inner lax.scan
+# amortises.  The math per step is IDENTICAL (the scan body is the same
+# step body); on CPU (anchor) dispatch is negligible next to the ~4s
+# step, so the anchor is chain-invariant.
+CHAIN = 10
 
 
-def build_step():
+def build_step(chain: int = CHAIN):
     """Build the jitted train step + initial state for the paper config.
 
     Shared by the TPU bench (main) and the CPU anchor measurement
     (tools/measure_cpu_anchor.py) so both time the IDENTICAL program.
-    Returns (step, params, opt_state, rng).
+    Returns (step, params, opt_state, rng); one step() call advances
+    ``chain`` training iterations.
     """
     import jax
+    import jax.numpy as jnp
 
     from sqair_tpu.data import (
         OnDeviceDatasetSampler,
@@ -113,7 +121,7 @@ def build_step():
 
     dataset_arrays = sampler.arrays()
 
-    def _step_body(params, opt_state, rng, data):
+    def _one_step(params, opt_state, rng, data):
         data_rng, step_rng = jax.random.split(rng)
         b = OnDeviceDatasetSampler.sample(data, data_rng, B)
 
@@ -128,6 +136,21 @@ def build_step():
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
+    if chain == 1:
+        _step_body = _one_step
+    else:
+        def _step_body(params, opt_state, rng, data):
+            def body(carry, i):
+                p, o = carry
+                p, o, metrics = _one_step(p, o, jax.random.fold_in(rng, i),
+                                          data)
+                return (p, o), metrics
+            (params, opt_state), metrics = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(chain))
+            # last step's metrics (the sync scalar only needs one value)
+            return params, opt_state, jax.tree_util.tree_map(
+                lambda m: m[-1], metrics)
+
     from sqair_tpu.ops.fused_cells import jit_compiler_options
 
     jit_step = jax.jit(_step_body, donate_argnums=(0, 1),
@@ -139,10 +162,13 @@ def build_step():
     return step, state.params, state.opt_state, rng
 
 
-def measure(step, params, opt_state, rng, warmup=WARMUP, iters=ITERS):
+def measure(step, params, opt_state, rng, warmup=WARMUP, iters=ITERS,
+            chain: int = CHAIN):
     """Run warmup + timed iterations; return (frames_per_sec, final_target).
 
     frames_per_sec is per-process (divide by chip count for per-chip).
+    ``chain`` must match the build_step() chain so the frame count is
+    right: each step() call advances chain training iterations.
     """
     import jax
 
@@ -165,7 +191,7 @@ def measure(step, params, opt_state, rng, warmup=WARMUP, iters=ITERS):
     final = float(metrics["target"])  # forces completion of the chain
     dt = time.perf_counter() - t0
     assert np.isfinite(final)
-    return iters * T * B / dt, final
+    return iters * chain * T * B / dt, final
 
 
 def _devices_reachable(timeout_s: float = 120.0) -> bool:

@@ -48,9 +48,11 @@ def main():
     print(f"measuring on {len(devs)} CPU device(s), "
           f"{os.cpu_count()} host core(s)", file=sys.stderr)
 
-    step, params, opt_state, rng = bench.build_step()
+    # chain=1: on CPU the ~4s step dwarfs dispatch, so chaining changes
+    # nothing except making the measurement 10x slower to collect
+    step, params, opt_state, rng = bench.build_step(chain=1)
     fps, final = bench.measure(step, params, opt_state, rng,
-                               warmup=args.warmup, iters=args.iters)
+                               warmup=args.warmup, iters=args.iters, chain=1)
 
     # Core-count accounting (ADVICE r2 / VERDICT r2 #6): this measurement
     # upper-bounds TF1.6 PER CORE, but the reference would have run on a
