@@ -18,6 +18,7 @@ import time
 from os import path as osp
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from sqair_tpu.data.loader import curriculum_seq_len, truncate_batch
@@ -87,6 +88,12 @@ flags.DEFINE_boolean("on_device_data", False,
                      "minibatches inside the jitted step (no host round-trip "
                      "per iteration; the reference's tf.py_func equivalent "
                      "stays the default).")
+flags.DEFINE_integer("steps_per_call", 1,
+                     "With --on_device_data: chain this many train steps "
+                     "inside one jit dispatch (inner lax.scan; identical "
+                     "per-step math and rng streams). Amortises the ~1ms "
+                     "tunnel dispatch latency. All cadences (report/log/"
+                     "save/fig/stage_itr/train_itr) must be divisible by it.")
 
 
 def main(argv=None):
@@ -237,6 +244,7 @@ def main(argv=None):
         def step_rng_for(itr):
             return jax.random.fold_in(rng, itr)
     device_step_for_len = None
+    steps_per_call = 1
     if F.on_device_data and not use_dp:
         import functools
 
@@ -248,8 +256,24 @@ def main(argv=None):
             {"imgs": data_dict["train_data"]["imgs"],
              "nums": data_dict["train_data"]["nums"]}
         )
+        steps_per_call = max(1, int(F.steps_per_call))
+        if steps_per_call > 1:
+            # chained calls advance train_itr in blocks: every cadence and
+            # every stage boundary must land on a block boundary
+            for fname in ("report_loss_every", "log_itr", "save_itr",
+                          "fig_itr", "train_itr"):
+                v = getattr(F, fname)
+                if v % steps_per_call:
+                    raise ValueError(
+                        f"--{fname}={v} must be divisible by "
+                        f"--steps_per_call={steps_per_call}")
+            if data_dict["stage_itr"] % steps_per_call:
+                raise ValueError(
+                    f"stage_itr={data_dict['stage_itr']} must be divisible "
+                    f"by --steps_per_call={steps_per_call}")
         print("on-device data: training set resident in HBM, "
-              "sampling inside the jitted step")
+              f"sampling inside the jitted step "
+              f"({steps_per_call} step(s) per dispatch)")
 
         dataset_arrays = sampler.arrays()
 
@@ -258,8 +282,10 @@ def main(argv=None):
             # the dataset rides in as a jit ARGUMENT (device-resident, no
             # per-call transfer) — closing over it would bake it into the
             # lowered program as a constant (820MB HLO at 8192 sequences)
-            def body(params, opt_state, rng, data):
-                drng, srng = jax.random.split(rng)
+            def one(params, opt_state, itr, data):
+                # same stream as the unchained path: fold the absolute
+                # iteration number into the base rng
+                drng, srng = jax.random.split(jax.random.fold_in(rng, itr))
                 b = OnDeviceDatasetSampler.sample(data, drng, F.batch_size)
                 obs = jax.lax.slice_in_dim(b["imgs"], 0, seq_len, axis=0)
                 nums = jax.lax.slice_in_dim(b["nums"], 0, seq_len, axis=0)
@@ -275,6 +301,21 @@ def main(argv=None):
                 )(params)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 return optax.apply_updates(params, updates), opt_state, metrics
+
+            if steps_per_call == 1:
+                def body(params, opt_state, itr0, data):
+                    return one(params, opt_state, itr0, data)
+            else:
+                def body(params, opt_state, itr0, data):
+                    def scan_body(carry, i):
+                        p, o = carry
+                        p, o, metrics = one(p, o, itr0 + i, data)
+                        return (p, o), metrics
+                    (params, opt_state), ms = jax.lax.scan(
+                        scan_body, (params, opt_state),
+                        jnp.arange(steps_per_call))
+                    return params, opt_state, jax.tree_util.tree_map(
+                        lambda m: m[-1], ms)
 
             from sqair_tpu.ops.fused_cells import jit_compiler_options
 
@@ -371,6 +412,11 @@ def main(argv=None):
 
     # ------------------------------------------------------------- loop
     train_itr = state.step
+    if steps_per_call > 1 and train_itr % steps_per_call:
+        raise ValueError(
+            f"resumed step {train_itr} is not aligned to "
+            f"--steps_per_call={steps_per_call}; resume with "
+            f"--steps_per_call 1 (or a divisor of {train_itr})")
     print(f"Starting training at iter = {train_itr}")
     if F.log_at_start or train_itr == 0:
         log(train_itr)
@@ -380,29 +426,43 @@ def main(argv=None):
     last_saved_itr = -1
 
     # Preemption safety (reference: tf.Supervisor saved on stop,
-    # scripts/experiment.py:176): SIGTERM/SIGINT request a graceful stop;
-    # the loop breaks at the next iteration boundary and the final-save
-    # path below checkpoints whatever step was reached.  Single-process
-    # only — in distributed runs jax's own preemption notifier owns
-    # SIGTERM, and a lone process saving mid-collective would deadlock.
+    # scripts/experiment.py:176): SIGTERM/SIGINT request a graceful stop.
+    # Single-process: the loop breaks at the next iteration boundary and
+    # the final-save path below checkpoints whatever step was reached.
+    # Multi-process: a lone process breaking out would deadlock its peers
+    # mid-collective, so the local flag is only a VOTE — every
+    # `report_loss_every` iterations all processes allgather their votes
+    # and, if any process was signalled, ALL break at that same iteration
+    # and reach the same (single-writer) save step.  Our handler is
+    # installed after jax.distributed.initialize, so it wins over jax's
+    # own preemption notifier for SIGTERM.
     stop_signal = {"num": None}
     prev_handlers = {}
-    if jax.process_count() == 1:
-        import signal
+    import signal
 
-        def _graceful_stop(signum, frame):
-            stop_signal["num"] = signum
+    def _graceful_stop(signum, frame):
+        stop_signal["num"] = signum
 
-        try:
-            for s in (signal.SIGTERM, signal.SIGINT):
-                prev_handlers[s] = signal.signal(s, _graceful_stop)
-        except ValueError:  # not the main thread (in-process tests)
-            prev_handlers = {}
+    try:
+        for s in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[s] = signal.signal(s, _graceful_stop)
+    except ValueError:  # not the main thread (in-process tests)
+        prev_handlers = {}
+
+    multi_process = jax.process_count() > 1
+    if multi_process:
+        from jax.experimental import multihost_utils
+
+        def _coordinated_stop() -> bool:
+            vote = np.asarray(
+                [1.0 if stop_signal["num"] is not None else 0.0], np.float32
+            )
+            return float(multihost_utils.process_allgather(vote).max()) > 0.0
 
     t0 = time.time()
     frames_done = 0
     while train_itr < F.train_itr:
-        if stop_signal["num"] is not None:
+        if stop_signal["num"] is not None and not multi_process:
             print(f"signal {stop_signal['num']}: stopping at iter "
                   f"{train_itr}, saving checkpoint")
             break
@@ -410,17 +470,19 @@ def main(argv=None):
         if device_step_for_len is not None:
             state.params, state.opt_state, metrics = device_step_for_len(sl)(
                 state.params, state.opt_state,
-                jax.random.fold_in(rng, train_itr), dataset_arrays,
+                jnp.asarray(train_itr, jnp.int32), dataset_arrays,
             )
+            train_itr += steps_per_call
+            frames_done += sl * F.batch_size * steps_per_call
         else:
             batch = shard(truncate_batch(next(data_dict["train_iter"]), sl))
             state.params, state.opt_state, metrics = train_step(
                 state.params, state.opt_state, step_rng_for(train_itr),
                 batch["imgs"], batch["nums"],
             )
-        train_itr += 1
+            train_itr += 1
+            frames_done += sl * F.batch_size
         state.step = train_itr
-        frames_done += sl * F.batch_size
 
         if train_itr % report_every == 0:
             dt = time.time() - t0
@@ -436,6 +498,15 @@ def main(argv=None):
             print(f"{train_itr}: " + ", ".join(f"{k}={v:.5g}" for k, v in heartbeat.items()))
             writer.write(train_itr, heartbeat)
             t0, frames_done = time.time(), 0
+
+        if multi_process and train_itr % report_every == 0:
+            # all processes hit this at the same train_itr (the train
+            # step's collectives keep them in lockstep), so the vote
+            # allgather lines up and everyone breaks at the same step
+            if _coordinated_stop():
+                print(f"coordinated stop (a process was signalled): "
+                      f"stopping at iter {train_itr}, saving checkpoint")
+                break
 
         if train_itr % F.log_itr == 0:
             log(train_itr)
@@ -459,12 +530,6 @@ def main(argv=None):
                 jax.block_until_ready(metrics["target"])
             print(f"profiler trace written to {trace_dir}")
 
-    if prev_handlers:
-        import signal
-
-        for s, h in prev_handlers.items():
-            signal.signal(s, h)
-
     if last_saved_itr != train_itr:
         # never re-save an existing step: duplicate saves to one path run
         # the async-write barrier twice, which deadlocks multi-process
@@ -472,6 +537,13 @@ def main(argv=None):
         save_checkpoint(logdir, train_itr, state.as_dict())
     try_plot(train_itr)
     writer.close()
+
+    # Keep our no-op handler installed until the graceful-shutdown save
+    # is durable: a second signal during the save must not hit the default
+    # handler and kill the process mid-write (ADVICE r2).
+    if prev_handlers:
+        for s, h in prev_handlers.items():
+            signal.signal(s, h)
     return logdir, state
 
 
