@@ -17,6 +17,13 @@ import sys
 from os import path as osp
 
 import jax
+
+# See scripts/experiment.py: the axon sitecustomize overrides
+# JAX_PLATFORMS via jax.config; SQAIR_PLATFORM=cpu forces host eval
+# (the usual mode for sweeps while the chip trains).
+if os.environ.get("SQAIR_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["SQAIR_PLATFORM"])
+
 import numpy as np
 
 from sqair_tpu.experiment import flags

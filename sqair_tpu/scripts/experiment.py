@@ -18,6 +18,14 @@ import time
 from os import path as osp
 
 import jax
+
+# The axon sitecustomize pins jax_platforms to the tunnelled TPU backend
+# via jax.config (overriding the JAX_PLATFORMS env var), so give the CLI
+# its own escape hatch: SQAIR_PLATFORM=cpu runs training on the host
+# (e.g. while the chip is busy or the tunnel is down).
+if os.environ.get("SQAIR_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["SQAIR_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 

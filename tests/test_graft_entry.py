@@ -40,6 +40,7 @@ def test_dryrun_multichip_never_touches_jax_in_parent():
     # the driver would invoke it (it sets its own XLA_FLAGS; both cases
     # must work).
     env.pop("_SQAIR_DRYRUN_CHILD", None)
+    env.pop("SQAIR_DRYRUN_FULL", None)  # driver default: primary path only
     proc = subprocess.run(
         [sys.executable, "-c", _PARENT_CODE],
         env=env,
@@ -53,6 +54,29 @@ def test_dryrun_multichip_never_touches_jax_in_parent():
     )
     assert "PARENT_OK" in proc.stdout
     assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_all_strategies():
+    """SQAIR_DRYRUN_FULL=1 also runs the multislice mesh and the explicit
+    shard_map strategy (gated off the driver path for wall-time: ~7 min
+    total on a 1-core host vs the driver check's timeout)."""
+    env = dict(os.environ)
+    env.pop("_SQAIR_DRYRUN_CHILD", None)
+    env["SQAIR_DRYRUN_FULL"] = "1"
+    proc = subprocess.run(
+        [sys.executable, "-c", _PARENT_CODE],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    )
+    assert "multislice (2, 4)" in proc.stdout
+    assert "shard_map" in proc.stdout
 
 
 @pytest.mark.slow
