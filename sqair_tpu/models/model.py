@@ -137,18 +137,22 @@ class Model:
         target = target / nt
         if l2_weight:
             target = target + targets.l2_reg(params, l2_weight)
-        if self.aspect_penalty and "where" in outputs:
+        if "where" in outputs:
             # where logits [T, B*k, S, 4]: (scale_y, scale_x, shift_y,
-            # shift_x); presence [T, B*k, S, 1] in {0,1}.  Mean squared
+            # shift_x); presence [T, B*k, S] in {0,1}.  Mean squared
             # log-aspect over PRESENT objects; gradient flows through the
-            # reparameterised where sample into the posterior.
+            # reparameterised where sample into the posterior.  The metric
+            # is always reported (it quantifies the conv family's
+            # vertical-sliver over-segmentation, docs/NOTES.md); the
+            # penalty only enters the target when aspect_penalty > 0.
             wh = outputs["where"]
             pres = jax.lax.stop_gradient(outputs["presence"])  # [T, B*k, S]
             log_aspect = (jax.nn.log_sigmoid(wh[..., 0])
                           - jax.nn.log_sigmoid(wh[..., 1]))
             sq = jnp.sum(log_aspect ** 2 * pres)
             aspect = sq / jnp.maximum(jnp.sum(pres), 1.0)
-            target = target + self.aspect_penalty * aspect
+            if self.aspect_penalty:
+                target = target + self.aspect_penalty * aspect
             metrics["aspect"] = aspect
         metrics["target"] = target
 
