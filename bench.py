@@ -29,19 +29,26 @@ _ANCHOR_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 _ASSUMED_CPU_FPS = 100.0  # round-1 fallback only (see module docstring)
 
 
+def _read_anchor_file():
+    try:
+        with open(_ANCHOR_FILE) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def load_anchor():
     """Return (cpu_frames_per_sec, method_string).
 
-    Prefers the core-scaled gate anchor (measured per-core XLA-CPU x an
-    assumed 8-core-workstation factor — see tools/measure_cpu_anchor.py),
-    which is the HARDER gate; falls back to the raw measurement, then to
-    the round-1 assumption.
+    The MEASURED per-core XLA-CPU anchor — `vs_baseline` is gated on this
+    per the round-2 verdict. The harder core-scaled gate is reported
+    separately (`vs_core_scaled_gate`, see load_scaled_gate_anchor);
+    falls back to the round-1 assumption if the anchor file is missing.
     """
+    a = _read_anchor_file()
     try:
-        with open(_ANCHOR_FILE) as f:
-            a = json.load(f)
         return float(a["frames_per_sec"]), a.get("method", "measured")
-    except (OSError, KeyError, ValueError):
+    except (KeyError, ValueError):
         return _ASSUMED_CPU_FPS, "assumed (anchor file missing)"
 
 
@@ -52,10 +59,8 @@ def load_scaled_gate_anchor():
     Returns None when the anchor file predates the scaling fields.
     """
     try:
-        with open(_ANCHOR_FILE) as f:
-            a = json.load(f)
-        return float(a["gate_anchor_frames_per_sec"])
-    except (OSError, KeyError, ValueError):
+        return float(_read_anchor_file()["gate_anchor_frames_per_sec"])
+    except (KeyError, ValueError):
         return None
 
 # paper-grade training config (release_models/mnist_mlp/1/flags.json):

@@ -78,12 +78,19 @@ def shard_batch(batch, mesh: Mesh, time_major: bool = True):
 
 
 def _fused_kernels_active() -> bool:
-    """True when the opt-in whole-frame Pallas kernels would run."""
-    import os
+    """True when ANY Pallas kernel would run on this backend.
 
+    Not just the opt-in SQAIR_FUSE_CELLS frame kernels: the default MLP/
+    RNN/GRU paths (nn/layers.py -> ops/fused.py) and the glimpse kernels
+    (SQAIR_FUSE_GLIMPSE) also emit `pallas_call` whenever
+    ``fused.use_pallas()`` is true (real TPU backend, not SQAIR_NO_PALLAS).
+    `pallas_call` has no GSPMD partitioning rule, so on a multi-device
+    mesh every Pallas family needs the shard_map strategy — keying this
+    off SQAIR_FUSE_CELLS alone left default multi-chip runs silently
+    replicating the batch under pjit."""
     from ..ops import fused
 
-    return bool(os.environ.get("SQAIR_FUSE_CELLS")) and fused.use_pallas()
+    return fused.use_pallas()
 
 
 def _shard_index(axes):
@@ -107,9 +114,10 @@ def make_parallel_train_step(model: Model, optimizer: optax.GradientTransformati
     - GSPMD (default): one logical program; XLA inserts the gradient
       all-reduce over ICI because the replicated output params must agree
       across shards.
-    - shard_map (auto-selected when the fused Pallas frame kernels are
-      active, or forced with ``use_shard_map=True``): `pallas_call` has no
-      GSPMD partitioning rule, so under plain pjit the fused kernels force
+    - shard_map (auto-selected whenever any Pallas kernel would run on
+      this backend — i.e. every multi-device mesh on real TPU — or forced
+      with ``use_shard_map=True``): `pallas_call` has no GSPMD
+      partitioning rule, so under plain pjit any Pallas kernel forces
       silent replication of the batch.  Under `shard_map` each device runs
       the kernels on its LOCAL batch shard and the gradient reduction is
       an explicit `lax.pmean` over the data axes (both axes of a

@@ -329,6 +329,15 @@ def main(argv=None):
 
             return jax.jit(body, compiler_options=jit_compiler_options())
 
+    if int(F.steps_per_call) > 1 and steps_per_call == 1:
+        # silently measuring the unchained configuration would invalidate
+        # any throughput comparison the flag was set for
+        raise ValueError(
+            "--steps_per_call > 1 requires --on_device_data and is "
+            "incompatible with the data-parallel mesh path "
+            f"(on_device_data={F.on_device_data}, data_parallel active={use_dp})"
+        )
+
     from sqair_tpu.training import make_eval_step
 
     if is_multihost and use_dp:
@@ -459,6 +468,13 @@ def main(argv=None):
 
     multi_process = jax.process_count() > 1
     if multi_process:
+        # a preemption's grace window (typically 30-60s) must not wait for
+        # a full report interval (default 1000 iters): bound the vote
+        # cadence. The allgather is a tiny host-side collective; at 250
+        # iters its cost is noise. (steps_per_call > 1 never coexists
+        # with multi-process — it requires the non-mesh on-device path —
+        # so iteration alignment is guaranteed.)
+        vote_every = min(report_every, 250)
         from jax.experimental import multihost_utils
 
         def _coordinated_stop() -> bool:
@@ -475,6 +491,7 @@ def main(argv=None):
                   f"{train_itr}, saving checkpoint")
             break
         sl = stage_len(train_itr)
+        prev_itr = train_itr
         if device_step_for_len is not None:
             state.params, state.opt_state, metrics = device_step_for_len(sl)(
                 state.params, state.opt_state,
@@ -507,7 +524,7 @@ def main(argv=None):
             writer.write(train_itr, heartbeat)
             t0, frames_done = time.time(), 0
 
-        if multi_process and train_itr % report_every == 0:
+        if multi_process and train_itr % vote_every == 0:
             # all processes hit this at the same train_itr (the train
             # step's collectives keep them in lockstep), so the vote
             # allgather lines up and everyone breaks at the same step
@@ -525,15 +542,20 @@ def main(argv=None):
             last_saved_itr = train_itr
         if train_itr % F.fig_itr == 0:
             try_plot(train_itr)
-        if F.profile_itr and train_itr == F.profile_itr:
+        # train_itr advances in steps_per_call blocks, so fire on the
+        # first boundary at-or-past profile_itr rather than on equality
+        if F.profile_itr and train_itr >= F.profile_itr > prev_itr:
             # capture 3 steps; the trace opens in tensorboard's profile tab
             trace_dir = osp.join(logdir, "profile")
+            # the on-device-data path never materialises a host batch in
+            # the loop: draw one here for the profiled steps
+            pbatch = shard(truncate_batch(next(data_dict["train_iter"]), sl))
             with jax.profiler.trace(trace_dir):
                 for k in range(3):
                     state.params, state.opt_state, metrics = train_step(
                         state.params, state.opt_state,
-                        jax.random.fold_in(rng, train_itr * 131 + k),
-                        batch["imgs"], batch["nums"],
+                        step_rng_for(train_itr * 131 + k),
+                        pbatch["imgs"], pbatch["nums"],
                     )
                 jax.block_until_ready(metrics["target"])
             print(f"profiler trace written to {trace_dir}")

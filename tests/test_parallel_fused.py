@@ -70,11 +70,14 @@ def fused_on(monkeypatch):
 
 
 def test_auto_switch_detection(monkeypatch):
+    # the switch keys on use_pallas() alone: the default MLP/GRU kernels
+    # (not just SQAIR_FUSE_CELLS) emit pallas_call on real TPU backends,
+    # and pallas_call has no GSPMD partitioning rule
     monkeypatch.delenv("SQAIR_FUSE_CELLS", raising=False)
+    monkeypatch.setattr(fused, "use_pallas", lambda: False)
     assert not _fused_kernels_active()
-    monkeypatch.setenv("SQAIR_FUSE_CELLS", "1")
     monkeypatch.setattr(fused, "use_pallas", lambda: True)
-    assert _fused_kernels_active()
+    assert _fused_kernels_active()  # even with SQAIR_FUSE_CELLS unset
 
 
 @pytest.mark.slow
