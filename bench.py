@@ -266,13 +266,22 @@ def main():
         },
     }
     if scaled_anchor is not None:
-        # harder secondary gate: anchor scaled to an assumed 8-core 2018
-        # workstation (the measurement host has one core) — accounting in
-        # docs/cpu_anchor.json `anchor_scaling`
+        # EQUAL-PROMINENCE second gate (ADVICE r3): anchor scaled to an
+        # assumed 8-core 2018 workstation (the measurement host has one
+        # core).  This is the HARDER, more faithful TF1-workstation bound;
+        # `vs_baseline` stays keyed to the measured per-core anchor per the
+        # round-2 verdict.  Full arithmetic + sensitivity (break-even TF1
+        # parallel efficiency) in docs/cpu_anchor.json `anchor_sensitivity`.
         record["vs_core_scaled_gate"] = round(
             fps_per_chip / (50.0 * scaled_anchor), 4)
         record["core_scaled_gate_frames_per_sec"] = round(
             50.0 * scaled_anchor, 2)
+        scaling = _read_anchor_file().get("anchor_scaling", {})
+        ref_cores = float(scaling.get("assumed_ref_cores", 8))
+        # the gate clears iff TF1.6's true multi-core parallel efficiency
+        # on this model is BELOW this value (1.0 = perfect linear scaling)
+        record["break_even_tf1_parallel_efficiency"] = round(
+            fps_per_chip / (50.0 * anchor_fps * ref_cores), 4)
     print(json.dumps(record))
 
 

@@ -30,6 +30,23 @@ class Model:
         self.k_particles = k_particles
         self.aspect_penalty = aspect_penalty
 
+    @staticmethod
+    def finalize_metrics(metrics):
+        """Recompute ratio metrics from their (possibly pmean'd) parts.
+
+        Called by every step wrapper AFTER its cross-shard reduction (or
+        directly, single-program): ``aspect`` becomes sum(sq)/sum(present)
+        over the GLOBAL batch under every sharding strategy — pmean over
+        equal-size shards scales numerator and denominator alike, so the
+        ratio of pmeans equals the global ratio.  Drops the part keys so
+        logged metric sets stay unchanged.
+        """
+        m = dict(metrics)
+        if "aspect_sq_sum" in m:
+            m["aspect"] = m.pop("aspect_sq_sum") / jnp.maximum(
+                m.pop("aspect_n"), 1.0)
+        return m
+
     def init(self, rng, obs):
         tiled = indexing.tile_input_for_iwae(obs, self.k_particles, with_time=True)
         return self.sequence.init(rng, tiled)
@@ -150,10 +167,21 @@ class Model:
             log_aspect = (jax.nn.log_sigmoid(wh[..., 0])
                           - jax.nn.log_sigmoid(wh[..., 1]))
             sq = jnp.sum(log_aspect ** 2 * pres)
-            aspect = sq / jnp.maximum(jnp.sum(pres), 1.0)
+            n_pres = jnp.sum(pres)
+            aspect = sq / jnp.maximum(n_pres, 1.0)
             if self.aspect_penalty:
+                # NB under shard_map the penalty is the per-shard ratio
+                # (gradients are then pmean'd) — a mean-of-shard-ratios
+                # regulariser, not the global ratio; the logged METRIC is
+                # made strategy-invariant via finalize_metrics below.
                 target = target + self.aspect_penalty * aspect
             metrics["aspect"] = aspect
+            # ratio parts: a cross-shard pmean of `aspect` is a mean of
+            # per-shard ratios, not the global ratio.  pmean of the parts
+            # (equal-size shards) preserves num/den, so step wrappers call
+            # finalize_metrics AFTER their reduction to recompute it.
+            metrics["aspect_sq_sum"] = sq
+            metrics["aspect_n"] = n_pres
         metrics["target"] = target
 
         # resampled tensors for rendering (model.py:137-148)

@@ -171,6 +171,11 @@ class SequentialAIR:
 
             if record_mode == "train":  # trimmed record, in-loop log-probs
                 record = dict(
+                    # where/presence under the full-record names so the
+                    # aspect metric/penalty (models/model.py) is reported
+                    # in EVERY record mode, including sample_from_prior
+                    where=z_t[1],
+                    presence=z_t[2],  # [B*k, S, 1]; _squeeze_last -> [B*k, S]
                     discrete_log_prob=prop["prop_log_prob"] + disc["num_step_log_prob"],
                     num_prop_steps_per_sample=prop["num_steps"],
                     num_disc_steps_per_sample=disc["num_steps"],

@@ -151,6 +151,10 @@ def make_parallel_train_step(model: Model, optimizer: optax.GradientTransformati
             metrics = jax.tree_util.tree_map(
                 lambda m: lax.pmean(m, axis_name=axes), metrics
             )
+            # ratio metrics (aspect): recompute num/den AFTER the pmean so
+            # the value matches the GSPMD strategy's global ratio (ADVICE
+            # r3 — mean of per-shard ratios is not the global ratio)
+            metrics = Model.finalize_metrics(metrics)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
@@ -167,6 +171,7 @@ def make_parallel_train_step(model: Model, optimizer: optax.GradientTransformati
             (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, rng, obs, nums
             )
+            metrics = Model.finalize_metrics(metrics)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
@@ -198,9 +203,9 @@ def make_parallel_eval_step(model: Model, mesh: Mesh,
         def local_eval(params, rng, obs, nums):
             rng = jax.random.fold_in(rng, _shard_index(axes))
             _, aux = model.loss_and_metrics(params, rng, obs, nums)
-            return jax.tree_util.tree_map(
+            return Model.finalize_metrics(jax.tree_util.tree_map(
                 lambda m: lax.pmean(m, axis_name=axes), aux["metrics"]
-            )
+            ))
 
         batch_spec = P(None, axes)
         eval_step = jax.shard_map(
@@ -211,7 +216,7 @@ def make_parallel_eval_step(model: Model, mesh: Mesh,
     else:
         def eval_step(params, rng, obs, nums):
             _, aux = model.loss_and_metrics(params, rng, obs, nums)
-            return aux["metrics"]
+            return Model.finalize_metrics(aux["metrics"])
 
     return jax.jit(eval_step, in_shardings=(repl, repl, data, data),
                    out_shardings=repl, compiler_options=jit_compiler_options())

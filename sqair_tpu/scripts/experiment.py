@@ -307,6 +307,7 @@ def main(argv=None):
                 (_, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(params)
+                metrics = model.finalize_metrics(metrics)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 return optax.apply_updates(params, updates), opt_state, metrics
 
@@ -466,114 +467,117 @@ def main(argv=None):
     except ValueError:  # not the main thread (in-process tests)
         prev_handlers = {}
 
-    multi_process = jax.process_count() > 1
-    if multi_process:
-        # a preemption's grace window (typically 30-60s) must not wait for
-        # a full report interval (default 1000 iters): bound the vote
-        # cadence. The allgather is a tiny host-side collective; at 250
-        # iters its cost is noise. (steps_per_call > 1 never coexists
-        # with multi-process — it requires the non-mesh on-device path —
-        # so iteration alignment is guaranteed.)
-        vote_every = min(report_every, 250)
-        from jax.experimental import multihost_utils
+    # Handlers stay installed through the loop AND the final save (a
+    # second signal during the graceful-shutdown save must not kill the
+    # process mid-write, ADVICE r2); the finally restores them even when
+    # training raises, so in-process callers (tests invoking main()
+    # repeatedly) never inherit the no-op handlers (ADVICE r3).
+    try:
+        multi_process = jax.process_count() > 1
+        if multi_process:
+            # a preemption's grace window (typically 30-60s) must not wait for
+            # a full report interval (default 1000 iters): bound the vote
+            # cadence. The allgather is a tiny host-side collective; at 250
+            # iters its cost is noise. (steps_per_call > 1 never coexists
+            # with multi-process — it requires the non-mesh on-device path —
+            # so iteration alignment is guaranteed.)
+            vote_every = min(report_every, 250)
+            from jax.experimental import multihost_utils
 
-        def _coordinated_stop() -> bool:
-            vote = np.asarray(
-                [1.0 if stop_signal["num"] is not None else 0.0], np.float32
-            )
-            return float(multihost_utils.process_allgather(vote).max()) > 0.0
+            def _coordinated_stop() -> bool:
+                vote = np.asarray(
+                    [1.0 if stop_signal["num"] is not None else 0.0], np.float32
+                )
+                return float(multihost_utils.process_allgather(vote).max()) > 0.0
 
-    t0 = time.time()
-    frames_done = 0
-    while train_itr < F.train_itr:
-        if stop_signal["num"] is not None and not multi_process:
-            print(f"signal {stop_signal['num']}: stopping at iter "
-                  f"{train_itr}, saving checkpoint")
-            break
-        sl = stage_len(train_itr)
-        prev_itr = train_itr
-        if device_step_for_len is not None:
-            state.params, state.opt_state, metrics = device_step_for_len(sl)(
-                state.params, state.opt_state,
-                jnp.asarray(train_itr, jnp.int32), dataset_arrays,
-            )
-            train_itr += steps_per_call
-            frames_done += sl * F.batch_size * steps_per_call
-        else:
-            batch = shard(truncate_batch(next(data_dict["train_iter"]), sl))
-            state.params, state.opt_state, metrics = train_step(
-                state.params, state.opt_state, step_rng_for(train_itr),
-                batch["imgs"], batch["nums"],
-            )
-            train_itr += 1
-            frames_done += sl * F.batch_size
-        state.step = train_itr
-
-        if train_itr % report_every == 0:
-            dt = time.time() - t0
-            fps = frames_done / max(dt, 1e-9)
-            heartbeat = {
-                "target": float(metrics["target"]),
-                "iwae": float(metrics["normalised_iwae"]),
-                "num_steps": float(metrics["num_steps"]),
-                "num_step_acc": float(metrics.get("num_step_accuracy", np.nan)),
-                "seq_len": sl,
-                "frames_per_sec": fps,
-            }
-            print(f"{train_itr}: " + ", ".join(f"{k}={v:.5g}" for k, v in heartbeat.items()))
-            writer.write(train_itr, heartbeat)
-            t0, frames_done = time.time(), 0
-
-        if multi_process and train_itr % vote_every == 0:
-            # all processes hit this at the same train_itr (the train
-            # step's collectives keep them in lockstep), so the vote
-            # allgather lines up and everyone breaks at the same step
-            if _coordinated_stop():
-                print(f"coordinated stop (a process was signalled): "
-                      f"stopping at iter {train_itr}, saving checkpoint")
+        t0 = time.time()
+        frames_done = 0
+        while train_itr < F.train_itr:
+            if stop_signal["num"] is not None and not multi_process:
+                print(f"signal {stop_signal['num']}: stopping at iter "
+                      f"{train_itr}, saving checkpoint")
                 break
+            sl = stage_len(train_itr)
+            prev_itr = train_itr
+            if device_step_for_len is not None:
+                state.params, state.opt_state, metrics = device_step_for_len(sl)(
+                    state.params, state.opt_state,
+                    jnp.asarray(train_itr, jnp.int32), dataset_arrays,
+                )
+                train_itr += steps_per_call
+                frames_done += sl * F.batch_size * steps_per_call
+            else:
+                batch = shard(truncate_batch(next(data_dict["train_iter"]), sl))
+                state.params, state.opt_state, metrics = train_step(
+                    state.params, state.opt_state, step_rng_for(train_itr),
+                    batch["imgs"], batch["nums"],
+                )
+                train_itr += 1
+                frames_done += sl * F.batch_size
+            state.step = train_itr
 
-        if train_itr % F.log_itr == 0:
-            log(train_itr)
-            if F.grad_histograms:
-                log_grad_histograms(train_itr)
-        if train_itr % F.save_itr == 0:
+            if train_itr % report_every == 0:
+                dt = time.time() - t0
+                fps = frames_done / max(dt, 1e-9)
+                heartbeat = {
+                    "target": float(metrics["target"]),
+                    "iwae": float(metrics["normalised_iwae"]),
+                    "num_steps": float(metrics["num_steps"]),
+                    "num_step_acc": float(metrics.get("num_step_accuracy", np.nan)),
+                    "seq_len": sl,
+                    "frames_per_sec": fps,
+                }
+                print(f"{train_itr}: " + ", ".join(f"{k}={v:.5g}" for k, v in heartbeat.items()))
+                writer.write(train_itr, heartbeat)
+                t0, frames_done = time.time(), 0
+
+            if multi_process and train_itr % vote_every == 0:
+                # all processes hit this at the same train_itr (the train
+                # step's collectives keep them in lockstep), so the vote
+                # allgather lines up and everyone breaks at the same step
+                if _coordinated_stop():
+                    print(f"coordinated stop (a process was signalled): "
+                          f"stopping at iter {train_itr}, saving checkpoint")
+                    break
+
+            if train_itr % F.log_itr == 0:
+                log(train_itr)
+                if F.grad_histograms:
+                    log_grad_histograms(train_itr)
+            if train_itr % F.save_itr == 0:
+                save_checkpoint(logdir, train_itr, state.as_dict())
+                last_saved_itr = train_itr
+            if train_itr % F.fig_itr == 0:
+                try_plot(train_itr)
+            # train_itr advances in steps_per_call blocks, so fire on the
+            # first boundary at-or-past profile_itr rather than on equality
+            if F.profile_itr and train_itr >= F.profile_itr > prev_itr:
+                # capture 3 steps; the trace opens in tensorboard's profile tab
+                trace_dir = osp.join(logdir, "profile")
+                # the on-device-data path never materialises a host batch in
+                # the loop: draw one here for the profiled steps
+                pbatch = shard(truncate_batch(next(data_dict["train_iter"]), sl))
+                with jax.profiler.trace(trace_dir):
+                    for k in range(3):
+                        state.params, state.opt_state, metrics = train_step(
+                            state.params, state.opt_state,
+                            step_rng_for(train_itr * 131 + k),
+                            pbatch["imgs"], pbatch["nums"],
+                        )
+                    jax.block_until_ready(metrics["target"])
+                print(f"profiler trace written to {trace_dir}")
+
+        if last_saved_itr != train_itr:
+            # never re-save an existing step: duplicate saves to one path run
+            # the async-write barrier twice, which deadlocks multi-process
+            # runs whose peers are one save apart (orbax barrier id reuse)
             save_checkpoint(logdir, train_itr, state.as_dict())
-            last_saved_itr = train_itr
-        if train_itr % F.fig_itr == 0:
-            try_plot(train_itr)
-        # train_itr advances in steps_per_call blocks, so fire on the
-        # first boundary at-or-past profile_itr rather than on equality
-        if F.profile_itr and train_itr >= F.profile_itr > prev_itr:
-            # capture 3 steps; the trace opens in tensorboard's profile tab
-            trace_dir = osp.join(logdir, "profile")
-            # the on-device-data path never materialises a host batch in
-            # the loop: draw one here for the profiled steps
-            pbatch = shard(truncate_batch(next(data_dict["train_iter"]), sl))
-            with jax.profiler.trace(trace_dir):
-                for k in range(3):
-                    state.params, state.opt_state, metrics = train_step(
-                        state.params, state.opt_state,
-                        step_rng_for(train_itr * 131 + k),
-                        pbatch["imgs"], pbatch["nums"],
-                    )
-                jax.block_until_ready(metrics["target"])
-            print(f"profiler trace written to {trace_dir}")
-
-    if last_saved_itr != train_itr:
-        # never re-save an existing step: duplicate saves to one path run
-        # the async-write barrier twice, which deadlocks multi-process
-        # runs whose peers are one save apart (orbax barrier id reuse)
-        save_checkpoint(logdir, train_itr, state.as_dict())
-    try_plot(train_itr)
-    writer.close()
-
-    # Keep our no-op handler installed until the graceful-shutdown save
-    # is durable: a second signal during the save must not hit the default
-    # handler and kill the process mid-write (ADVICE r2).
-    if prev_handlers:
-        for s, h in prev_handlers.items():
-            signal.signal(s, h)
+        try_plot(train_itr)
+        writer.close()
+    finally:
+        if prev_handlers:
+            for s, h in prev_handlers.items():
+                signal.signal(s, h)
     return logdir, state
 
 

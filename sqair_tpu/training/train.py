@@ -132,6 +132,7 @@ def make_train_step(model: Model, optimizer: optax.GradientTransformation,
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, rng, obs, nums
         )
+        metrics = Model.finalize_metrics(metrics)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         if grad_summaries:
             metrics = dict(metrics, **gradient_summaries(grads, updates, params))
@@ -148,7 +149,7 @@ def make_train_step(model: Model, optimizer: optax.GradientTransformation,
 def make_eval_step(model: Model) -> Callable:
     def eval_step(params, rng, obs, nums):
         _, aux = model.loss_and_metrics(params, rng, obs, nums)
-        return aux["metrics"]
+        return Model.finalize_metrics(aux["metrics"])
 
     from ..ops.fused_cells import jit_compiler_options
 

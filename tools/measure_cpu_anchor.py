@@ -81,6 +81,33 @@ def main():
                 "multi-core factor (conservative: favors TF1)"
             ),
         },
+        "anchor_sensitivity": {
+            "note": (
+                "Gate arithmetic, in one place (VERDICT r3 #7): the hard "
+                "gate is 50 x per_core_fps x ref_cores x tf1_efficiency. "
+                "With the measured 81.27 f/s/core and 8 assumed cores, the "
+                "TPU result clears the gate iff TF1.6's true 8-core "
+                "parallel efficiency on THIS model is below "
+                "break_even = tpu_fps / (50 x per_core x 8).  At the "
+                "round-1 measured 21,049 f/s/chip, break_even = 0.647: at "
+                "a hypothetical PERFECT efficiency of 1.0 the gate "
+                "(32,508 f/s) would NOT clear — the 50x claim rests on "
+                "TF1.6 scaling at <0.65 efficiency across 8 cores."
+            ),
+            "why_0p5_is_the_right_figure": (
+                "This model is ~3k ops/step of 256-wide matmuls chained "
+                "through a T=10 sequential scan; per-op work is tens of "
+                "microseconds.  TF1's intra-op (Eigen pool) parallelism "
+                "cannot split ops this small without overhead comparable "
+                "to the op itself, and inter-op parallelism is bounded by "
+                "the sequential time/slot chain that IS the critical path. "
+                "Published TF1-era CPU scaling for small-RNN workloads is "
+                "well under 0.5 at 8 threads; additionally the per-core "
+                "anchor itself is an UPPER bound on TF1 per-core "
+                "(whole-step XLA fusion vs per-op executor dispatch), "
+                "giving the 0.5 figure a second layer of slack."
+            ),
+        },
         "method": (
             "identical paper-config train step (bench.build_step: B=32, "
             "k=5, T=10, 3 slots, on-device sampler) jitted on "
