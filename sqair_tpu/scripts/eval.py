@@ -42,9 +42,14 @@ flags.DEFINE_string("dataset", "valid", "valid | train")
 flags.DEFINE_integer("every_nth_checkpoint", 1, "Evaluate every nth checkpoint.")
 flags.DEFINE_integer("eval_batch_size", 32, "")
 
-METRICS = ("iwae", "vae", "num_step_accuracy", "data_ll", "kl")
+METRICS = ("iwae", "vae", "num_step_accuracy", "data_ll", "kl",
+           "num_steps", "aspect")
 METRIC_FILES = {"iwae": "logpx", "vae": "vae", "num_step_accuracy": "acc",
-                "data_ll": "data_ll", "kl": "kl"}
+                "data_ll": "data_ll", "kl": "kl",
+                # num_steps (mean inferred objects/frame) + aspect (mean
+                # squared log-aspect of present glimpses) make the conv
+                # sliver ladder comparable numerically across runs
+                "num_steps": "num_steps", "aspect": "aspect"}
 
 
 def _already_evaluated(log_path: str):

@@ -34,13 +34,59 @@ print("PARENT_OK")
 """
 
 
+def test_parent_never_touches_jax_fast():
+    """Default-tier guard for the parent-side property alone: with jax
+    poisoned AND subprocess.run stubbed, dryrun_multichip must hand off to
+    the re-exec without touching jax — no 2-min child compile (that
+    end-to-end path is the slow-tier test below, and the driver runs it
+    for real every round)."""
+    code = """
+import sys, types
+poison = types.ModuleType("jax")
+def _boom(name):
+    raise RuntimeError("parent touched jax." + name)
+poison.__getattr__ = _boom
+sys.modules["jax"] = poison
+
+import subprocess
+calls = []
+def fake_run(cmd, **kw):
+    calls.append((cmd, kw))
+    class R: returncode = 0
+    return R()
+subprocess.run = fake_run
+
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+assert len(calls) == 1, calls
+cmd, kw = calls[0]
+assert "dryrun_multichip(8)" in cmd[2]
+env = kw["env"]
+assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+assert env["JAX_PLATFORMS"] == "cpu"
+assert env["_SQAIR_DRYRUN_CHILD"] == "1"
+print("PARENT_OK")
+"""
+    env = dict(os.environ)
+    env.pop("_SQAIR_DRYRUN_CHILD", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    )
+    assert "PARENT_OK" in proc.stdout
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_never_touches_jax_in_parent():
     env = dict(os.environ)
     # Start from a clean slate: no inherited platform forcing, exactly as
     # the driver would invoke it (it sets its own XLA_FLAGS; both cases
     # must work).
     env.pop("_SQAIR_DRYRUN_CHILD", None)
-    env.pop("SQAIR_DRYRUN_FULL", None)  # driver default: primary path only
+    env.pop("SQAIR_DRYRUN_FULL", None)  # driver default: GSPMD + shard_map
     proc = subprocess.run(
         [sys.executable, "-c", _PARENT_CODE],
         env=env,
@@ -54,6 +100,8 @@ def test_dryrun_multichip_never_touches_jax_in_parent():
     )
     assert "PARENT_OK" in proc.stdout
     assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout
+    # the production strategy (shard_map) runs in the driver default path
+    assert "shard_map" in proc.stdout
 
 
 @pytest.mark.slow

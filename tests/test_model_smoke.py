@@ -138,9 +138,13 @@ class TestModelWrapper:
             )
         assert aux_train["render"] == {}
 
+    @pytest.mark.slow
     def test_aspect_penalty(self, built, model):
         """Penalty is positive, reduces to target + w*aspect, and is
-        identical across record modes (the where/presence fields agree)."""
+        identical across record modes (the where/presence fields agree).
+
+        Slow tier (VERDICT r3 #8): three loss_and_metrics traces + a grad
+        compile, ~86s of the default tier's budget."""
         seq, params, obs = built
         m0, _, _ = model
         w = 0.7
@@ -168,6 +172,23 @@ class TestModelWrapper:
         grads = jax.grad(loss)(params)
         assert all(np.all(np.isfinite(np.asarray(g)))
                    for g in jax.tree_util.tree_leaves(grads))
+
+    def test_finalize_metrics_recomputes_ratio_and_drops_parts(self):
+        """finalize_metrics: aspect = sum(sq)/sum(n) from the (possibly
+        pmean'd) parts; part keys removed; other keys untouched (ADVICE
+        r3 — mean of per-shard ratios is not the global ratio)."""
+        m = {"aspect": 999.0, "aspect_sq_sum": jnp.asarray(6.0),
+             "aspect_n": jnp.asarray(4.0), "target": jnp.asarray(-1.0)}
+        out = Model.finalize_metrics(m)
+        np.testing.assert_allclose(float(out["aspect"]), 1.5)
+        assert "aspect_sq_sum" not in out and "aspect_n" not in out
+        assert float(out["target"]) == -1.0
+        # zero-presence guard: 0/max(0,1) = 0, not nan
+        out0 = Model.finalize_metrics(
+            {"aspect_sq_sum": jnp.asarray(0.0), "aspect_n": jnp.asarray(0.0)})
+        assert float(out0["aspect"]) == 0.0
+        # metrics without the parts pass through unchanged
+        assert Model.finalize_metrics({"target": 3.0}) == {"target": 3.0}
 
     def test_iwae_geq_vae_on_average(self, model):
         m, params, obs = model

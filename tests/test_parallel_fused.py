@@ -126,6 +126,49 @@ def test_shard_map_matches_per_shard_oracle():
 
 
 @pytest.mark.slow
+def test_shard_map_aspect_is_global_ratio():
+    """The aspect metric under shard_map equals sum(sq)/sum(present) over
+    the GLOBAL batch — not the pmean of per-shard ratios (ADVICE r3).
+
+    Oracle: run loss_and_metrics per shard with the shard-folded rng and
+    combine the raw parts by hand.
+    """
+    model = tiny_model()
+    mesh = make_mesh()
+    n = mesh.size
+    rng = jax.random.PRNGKey(3)
+    obs, nums = _batch(rng_seed=7)
+    opt = make_optimizer("sgd", 1e-3)
+    state = init_train(model, opt, rng, obs)
+
+    eval_step = make_parallel_eval_step(model, mesh, use_shard_map=True)
+    batch = shard_batch({"obs": obs, "nums": nums}, mesh)
+    m_sm = eval_step(state.params, rng, batch["obs"], batch["nums"])
+
+    local = B // n
+    sq, npres, ratios = 0.0, 0.0, []
+    for s in range(n):
+        r_s = jax.random.fold_in(rng, s)
+        o_s = obs[:, s * local:(s + 1) * local]
+        g_s = nums[:, s * local:(s + 1) * local]
+        _, aux = model.loss_and_metrics(state.params, r_s, o_s, g_s)
+        sq += float(aux["metrics"]["aspect_sq_sum"])
+        npres += float(aux["metrics"]["aspect_n"])
+        ratios.append(float(aux["metrics"]["aspect"]))
+    global_ratio = sq / max(npres, 1.0)
+
+    np.testing.assert_allclose(float(m_sm["aspect"]), global_ratio, rtol=2e-4)
+    # the parts never leak into the reported metric set
+    assert "aspect_sq_sum" not in m_sm and "aspect_n" not in m_sm
+    # sanity that the test can distinguish the two reductions at all:
+    # per-shard presence counts differ on random data, so mean-of-ratios
+    # and global ratio are distinct values here
+    mean_of_ratios = float(np.mean(ratios))
+    if abs(mean_of_ratios - global_ratio) > 1e-7:
+        assert abs(float(m_sm["aspect"]) - mean_of_ratios) > 1e-7
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("mesh_fn", [make_mesh,
                                      functools.partial(make_multislice_mesh, 2)])
 def test_fused_kernels_train_under_shard_map(fused_on, mesh_fn):
