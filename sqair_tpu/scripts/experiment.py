@@ -517,10 +517,19 @@ def main(argv=None):
             state.step = train_itr
 
             if train_itr % report_every == 0:
+                # jax dispatch is async: the loop above only ENQUEUES the
+                # chained step calls.  Force the last dispatch's metrics
+                # (transitively the whole interval's compute) BEFORE
+                # reading the clock, otherwise dt measures enqueue time
+                # and frames_per_sec is wildly inflated (~20x observed
+                # with steps_per_call=10).  A scalar fetch is the sync:
+                # block_until_ready does not reliably block over the
+                # axon tunnel.
+                target_val = float(metrics["target"])
                 dt = time.time() - t0
                 fps = frames_done / max(dt, 1e-9)
                 heartbeat = {
-                    "target": float(metrics["target"]),
+                    "target": target_val,
                     "iwae": float(metrics["normalised_iwae"]),
                     "num_steps": float(metrics["num_steps"]),
                     "num_step_acc": float(metrics.get("num_step_accuracy", np.nan)),
@@ -549,6 +558,12 @@ def main(argv=None):
                 last_saved_itr = train_itr
             if train_itr % F.fig_itr == 0:
                 try_plot(train_itr)
+            if (train_itr % F.log_itr == 0 or train_itr % F.save_itr == 0
+                    or train_itr % F.fig_itr == 0):
+                # evals/saves/figures ran inside what would otherwise be
+                # the next heartbeat's timing window: reset it so
+                # frames_per_sec measures training only
+                t0, frames_done = time.time(), 0
             # train_itr advances in steps_per_call blocks, so fire on the
             # first boundary at-or-past profile_itr rather than on equality
             if F.profile_itr and train_itr >= F.profile_itr > prev_itr:
