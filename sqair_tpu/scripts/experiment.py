@@ -111,6 +111,20 @@ def main(argv=None):
     parse_flags()
     F = flags.FLAGS
 
+    # Persistent compile cache: the curriculum recompiles once per stage
+    # (~10 stages) and ladder sweeps re-run near-identical programs in
+    # fresh processes; caching the executables cuts minutes per run.
+    # Opt-out with SQAIR_NO_COMPILE_CACHE=1 (e.g. cache-corruption triage).
+    if not os.environ.get("SQAIR_NO_COMPILE_CACHE"):
+        cache_dir = os.environ.get(
+            "SQAIR_COMPILE_CACHE_DIR",
+            osp.join(osp.expanduser("~"), ".cache", "sqair_tpu_jax"))
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception as e:  # older jax: flag absent — run uncached
+            print(f"compile cache unavailable: {e}")
+
     # multi-host wiring must precede any jax computation (backend init)
     from sqair_tpu.parallel import initialize as init_distributed
 
