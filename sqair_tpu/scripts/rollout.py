@@ -21,6 +21,13 @@ import os
 import sys
 
 import jax
+
+# Same escape hatch as scripts/eval.py: the axon sitecustomize overrides
+# JAX_PLATFORMS via jax.config, so SQAIR_PLATFORM=cpu is the reliable way
+# to keep a rollout off the chip while a training run holds it.
+if os.environ.get("SQAIR_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["SQAIR_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 
