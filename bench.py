@@ -166,6 +166,14 @@ def build_step(chain: int = CHAIN):
     def step(params, opt_state, rng):
         return jit_step(params, opt_state, rng, dataset_arrays)
 
+    # expose the jitted program + abstract args for cost analysis (MFU):
+    # shapes captured BEFORE measure() because the buffers are donated
+    step.jit_step = jit_step
+    step.abstract_args = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        (state.params, state.opt_state, rng, dataset_arrays),
+    )
+
     return step, state.params, state.opt_state, rng
 
 
@@ -199,6 +207,62 @@ def measure(step, params, opt_state, rng, warmup=WARMUP, iters=ITERS,
     dt = time.perf_counter() - t0
     assert np.isfinite(final)
     return iters * chain * T * B / dt, final
+
+
+# peak spec per chip: (dense bf16 matmul FLOP/s, HBM bytes/s).  MXU-native
+# dtype is bf16; the model runs f32 activations whose matmuls XLA lowers
+# to bf16-input/f32-accumulate passes on TPU, so bf16 peak is the honest
+# MFU denominator (an f32-denominator MFU would look ~2x better).
+_CHIP_PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),   # v5e
+    "TPU v5": (459e12, 2765e9),       # v5p
+    "TPU v4": (275e12, 1228e9),
+    "TPU v6 lite": (918e12, 1640e9),  # v6e / Trillium
+}
+
+
+def cost_and_mfu(step, fps_per_chip: float, chain: int = CHAIN):
+    """FLOPs/step from the compiled program + MFU/HBM roofline ratios.
+
+    VERDICT r4 #3: give the throughput number an MFU and a bound
+    statement.  Uses XLA's own cost model on the ALREADY-COMPILED train
+    program (`.lower().compile()` hits the persistent compile cache after
+    measure()'s warmup).  Returns {} when analysis is unavailable
+    (e.g. CPU anchor runs) — bench output degrades gracefully.
+    """
+    import jax
+
+    try:
+        compiled = step.jit_step.lower(*step.abstract_args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax: one dict per computation
+            ca = ca[0]
+        flops_per_dispatch = float(ca["flops"])
+        bytes_per_dispatch = float(ca.get("bytes accessed", 0.0))
+    except Exception as e:  # noqa: BLE001 - diagnostics must not kill the bench
+        import sys
+
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        return {}
+
+    # one dispatch = `chain` train steps
+    flops_per_step = flops_per_dispatch / chain
+    steps_per_sec = fps_per_chip / (T * B)
+    out = {
+        "flops_per_step": round(flops_per_step),
+        "model_flops_per_sec": round(flops_per_step * steps_per_sec),
+    }
+    kind = jax.devices()[0].device_kind
+    peaks = _CHIP_PEAKS.get(kind)
+    if peaks:
+        peak_flops, peak_bw = peaks
+        out["mfu"] = round(out["model_flops_per_sec"] / peak_flops, 6)
+        out["mfu_peak_ref"] = f"{peak_flops:.3g} FLOP/s dense bf16 ({kind})"
+        if bytes_per_dispatch:
+            out["hbm_bytes_per_step"] = round(bytes_per_dispatch / chain)
+            out["hbm_bw_util"] = round(
+                bytes_per_dispatch / chain * steps_per_sec / peak_bw, 6)
+    return out
 
 
 def _devices_reachable(timeout_s: float = 120.0) -> bool:
@@ -268,6 +332,7 @@ def main():
                     "(docs/cpu_anchor.json) per BASELINE.md",
         },
     }
+    record.update(cost_and_mfu(step, fps_per_chip))
     if scaled_anchor is not None:
         # EQUAL-PROMINENCE second gate (ADVICE r3): anchor scaled to an
         # assumed 8-core 2018 workstation (the measurement host has one

@@ -20,6 +20,12 @@ flags.DEFINE_float("disc_step_bias", 1.0,
                    "Added to the logit of discovering a new object.")
 flags.DEFINE_float("prop_step_bias", 5.0,
                    "Added to the logit of propagating an existing object.")
+flags.DEFINE_float("early_disc_step_bias", 0.0,
+                   "Extra per-object prior cost (nats) on discovery counts "
+                   "for frames t < early_disc_horizon; suppresses the "
+                   "transient spurious early-frame discovery (0 = off).")
+flags.DEFINE_integer("early_disc_horizon", 2,
+                     "Frames the early discovery suppression applies to.")
 flags.DEFINE_boolean("sample_from_prior", False,
                      "Sample from the prior instead of q.")
 flags.DEFINE_boolean("rec_where_prior", True,
@@ -73,6 +79,8 @@ def load(img, coords=None, num=None, mean_img=None, debug=False,
         step_success_prob=F.step_success_prob,
         disc_prior_type=F.disc_prior_type,
         rec_where_prior=F.rec_where_prior,
+        early_disc_step_bias=F.early_disc_step_bias,
+        early_disc_horizon=F.early_disc_horizon,
         scale_prior=tuple(parse_string_flag(F.scale_prior, float, num_elements=2)),
         masked_glimpse=F.masked_glimpse,
     )

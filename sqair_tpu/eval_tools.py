@@ -100,13 +100,24 @@ def make_expr_logger(eval_fn: Callable, batcher, num_batches: int, name: str,
                 batch = {k: v[:sl] for k, v in batch.items()}
             metrics = eval_fn(batch["imgs"], batch["nums"])
             for k, v in metrics.items():
-                totals[k] += float(v)
+                # scalar metrics, plus [T] vectors (num_step_acc_per_t)
+                totals[k] = totals[k] + np.asarray(v, np.float64)
         l = {k: v / n for k, v in totals.items()}
         t = time.time() - start
-        msg = ", ".join(f"{k} = {v:.4f}" for k, v in sorted(l.items()))
+
+        def _fmt(v):
+            return ("[" + " ".join(f"{x:.3f}" for x in v) + "]"
+                    if np.ndim(v) else f"{v:.4f}")
+        msg = ", ".join(f"{k} = {_fmt(v)}" for k, v in sorted(l.items()))
         print(f"Step {itr}, Data {name} {msg}, eval time = {t:.4}s")
         if writer is not None and write:
-            writer.write(itr, l, prefix=name)
+            flat = {}
+            for k, v in l.items():
+                if np.ndim(v):
+                    flat.update({f"{k}{i}": float(x) for i, x in enumerate(v)})
+                else:
+                    flat[k] = v
+            writer.write(itr, flat, prefix=name)
         return l
 
     return logger

@@ -30,8 +30,20 @@ class Discover(nn.Module):
     where_std: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
     disc_prior_type: str = "geom"
     rec_where_prior: bool = False
+    # Early-frame discovery suppression (round-4 plateau fix,
+    # docs/NOTES.md): for t < early_disc_horizon the #steps prior logits
+    # get an extra -bias*count ramp, charging each additional discovery
+    # `early_disc_step_bias` nats of prior cost in the frames where the
+    # transient spurious second box appears.  0 disables (default; the
+    # reference has no such knob — its only time shaping is the t>0
+    # bias, sqair_modules.py:199-226).
+    early_disc_step_bias: float = 0.0
+    early_disc_horizon: int = 2
 
     def setup(self):
+        if self.early_disc_step_bias and self.disc_prior_type != "cat":
+            raise ValueError(
+                "early_disc_step_bias requires disc_prior_type='cat'")
         if self.rec_where_prior:
             bias = list(self.where_mean) + list(self.where_std)
 
@@ -240,6 +252,15 @@ class Discover(nn.Module):
                 step_logits, (prior_conditioning.shape[0], self.n_steps + 1)
             )
         step_logits = jax.nn.elu(step_logits)
+        if self.early_disc_step_bias:
+            # post-elu so the ramp keeps its full magnitude (elu saturates
+            # negatives at -1); broadcasts over both the in-loop (scalar
+            # time_step) and deferred ([N, 1]) paths like is_first above
+            is_early = jnp.asarray(
+                time_step < self.early_disc_horizon, jnp.float32)
+            ramp = -self.early_disc_step_bias * jnp.arange(
+                self.n_steps + 1, dtype=jnp.float32)
+            step_logits = step_logits + is_early * ramp
         return D.Categorical(logits=step_logits)
 
     def _where_prior_log_prob(self, rng, where, conditioning):

@@ -64,7 +64,8 @@ class Model:
 
     def loss_and_metrics(self, params, rng, obs, gt_presence=None,
                          l2_weight: float = 0.0,
-                         record_mode: str = "full") -> Tuple[jnp.ndarray, Dict]:
+                         record_mode: str = "full",
+                         axis_name=None) -> Tuple[jnp.ndarray, Dict]:
         """Computes the VIMCO target and the reference's metric set.
 
         :param obs: [T, B, H, W]
@@ -72,6 +73,11 @@ class Model:
         :param record_mode: "full" also returns the render tensors used by
             figures; "train" uses the trimmed per-timestep record (identical
             target and metrics, no canvas/glimpse stacking in the scan)
+        :param axis_name: mesh axis name(s) when called inside shard_map —
+            makes the aspect PENALTY the global batch ratio (value and
+            gradient identical to the GSPMD strategy) instead of the
+            per-shard ratio.  None (default) under jit/pjit, where the
+            trace is already global.
         :return: (target scalar, dict of metrics + render tensors)
         """
         k = self.k_particles
@@ -137,6 +143,17 @@ class Model:
             acc = (gt_num_steps[..., None] == num_steps).astype(jnp.float32)
             metrics["raw_num_step_accuracy"] = jnp.mean(acc)
             metrics["num_step_accuracy"] = imp_weighted_mean(acc)
+            if record_mode != "train":
+                # [T] importance-weighted accuracy per frame — makes the
+                # "residual error concentrates in frames 1-2" diagnosis a
+                # logged number (round-4 plateau, docs/NOTES.md).  Eval
+                # paths only: the hot train step stays scalar-metrics-only.
+                metrics["num_step_acc_per_t"] = jnp.mean(
+                    importance_weights[None] * acc * k, axis=(1, 2))
+                # [T] inferred count per frame: distinguishes early-frame
+                # over-discovery (count too high) from late detection
+                metrics["num_steps_per_t"] = jnp.mean(
+                    importance_weights[None] * num_steps * k, axis=(1, 2))
 
         # optimisation target (model.py:150-160)
         discrete_log_prob = jnp.sum(outputs["discrete_log_prob"], 0)
@@ -170,11 +187,22 @@ class Model:
             n_pres = jnp.sum(pres)
             aspect = sq / jnp.maximum(n_pres, 1.0)
             if self.aspect_penalty:
-                # NB under shard_map the penalty is the per-shard ratio
-                # (gradients are then pmean'd) — a mean-of-shard-ratios
-                # regulariser, not the global ratio; the logged METRIC is
-                # made strategy-invariant via finalize_metrics below.
-                target = target + self.aspect_penalty * aspect
+                if axis_name is not None:
+                    # shard_map: use the GLOBAL present count as the
+                    # denominator and scale the local numerator by the
+                    # shard count.  After the step wrapper's grad pmean
+                    # this matches the GSPMD global-ratio penalty exactly:
+                    # value pmean = psum(sq)/n_global, gradient pmean =
+                    # (1/n_global)*sum_shards(dsq/dp) — the same as
+                    # differentiating sq_global/n_global in one trace.
+                    # (n_pres carries no gradient: presence is
+                    # stop-gradient'd above.)
+                    n_shards = jax.lax.psum(1.0, axis_name)
+                    n_global = jax.lax.psum(n_pres, axis_name)
+                    penalty_aspect = sq * n_shards / jnp.maximum(n_global, 1.0)
+                else:
+                    penalty_aspect = aspect
+                target = target + self.aspect_penalty * penalty_aspect
             metrics["aspect"] = aspect
             # ratio parts: a cross-shard pmean of `aspect` is a mean of
             # per-shard ratios, not the global ratio.  pmean of the parts

@@ -46,6 +46,8 @@ class SQAIRTimestep(nn.Module):
     step_success_prob: float = 0.75
     disc_prior_type: str = "cat"
     rec_where_prior: bool = True
+    early_disc_step_bias: float = 0.0
+    early_disc_horizon: int = 2
     scale_prior: Sequence[float] = (-2.0, -2.0)
     masked_glimpse: bool = True
     encoder_type: str = "mlp"  # "mlp" | "conv"
@@ -93,6 +95,8 @@ class SQAIRTimestep(nn.Module):
             where_mean=tuple(self.scale_prior) + (0.0, 0.0),
             disc_prior_type=self.disc_prior_type,
             rec_where_prior=self.rec_where_prior,
+            early_disc_step_bias=self.early_disc_step_bias,
+            early_disc_horizon=self.early_disc_horizon,
         )
 
         self._temporal_cell = make_cell(self.time_transition, self.n_hidden)

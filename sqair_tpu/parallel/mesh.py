@@ -142,9 +142,17 @@ def make_parallel_train_step(model: Model, optimizer: optax.GradientTransformati
 
         axes = _data_axes(mesh)
 
+        def local_loss_fn(params, rng, obs, nums):
+            # axis_name makes the aspect penalty the GLOBAL ratio (value
+            # and gradient match the GSPMD strategy; model.py)
+            target, aux = model.loss_and_metrics(
+                params, rng, obs, nums, l2_weight, record_mode="train",
+                axis_name=axes)
+            return target, aux["metrics"]
+
         def local_step(params, opt_state, rng, obs, nums):
             rng = jax.random.fold_in(rng, _shard_index(axes))
-            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (_, metrics), grads = jax.value_and_grad(local_loss_fn, has_aux=True)(
                 params, rng, obs, nums
             )
             grads = lax.pmean(grads, axis_name=axes)
@@ -202,7 +210,8 @@ def make_parallel_eval_step(model: Model, mesh: Mesh,
 
         def local_eval(params, rng, obs, nums):
             rng = jax.random.fold_in(rng, _shard_index(axes))
-            _, aux = model.loss_and_metrics(params, rng, obs, nums)
+            _, aux = model.loss_and_metrics(params, rng, obs, nums,
+                                            axis_name=axes)
             return Model.finalize_metrics(jax.tree_util.tree_map(
                 lambda m: lax.pmean(m, axis_name=axes), aux["metrics"]
             ))

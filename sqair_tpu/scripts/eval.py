@@ -43,13 +43,18 @@ flags.DEFINE_integer("every_nth_checkpoint", 1, "Evaluate every nth checkpoint."
 flags.DEFINE_integer("eval_batch_size", 32, "")
 
 METRICS = ("iwae", "vae", "num_step_accuracy", "data_ll", "kl",
-           "num_steps", "aspect")
+           "num_steps", "aspect", "num_step_acc_per_t", "num_steps_per_t")
 METRIC_FILES = {"iwae": "logpx", "vae": "vae", "num_step_accuracy": "acc",
                 "data_ll": "data_ll", "kl": "kl",
                 # num_steps (mean inferred objects/frame) + aspect (mean
                 # squared log-aspect of present glimpses) make the conv
                 # sliver ladder comparable numerically across runs
-                "num_steps": "num_steps", "aspect": "aspect"}
+                "num_steps": "num_steps", "aspect": "aspect",
+                # [T] per-frame accuracy breakdown — the round-4 plateau
+                # diagnosis ("frames 1-2 carry the residual error") as a
+                # logged vector: "itr: v0 v1 ... v{T-1}" per line
+                "num_step_acc_per_t": "acc_per_t",
+                "num_steps_per_t": "num_steps_per_t"}
 
 
 def _already_evaluated(log_path: str):
@@ -126,12 +131,20 @@ def main(argv=None):
             metrics = eval_step(params, jax.random.PRNGKey(1), batch["imgs"],
                                 batch["nums"])
             for m in METRICS:
-                totals[m] += float(metrics.get(m, np.nan))
+                # scalars and vectors ([T] per-frame accuracy) alike
+                totals[m] = totals[m] + np.asarray(metrics.get(m, np.nan),
+                                                   np.float64)
         for m in METRICS:
-            totals[m] /= n_batches
+            totals[m] = totals[m] / n_batches
+            v = totals[m]
+            text = (" ".join(f"{x}" for x in v) if np.ndim(v) else f"{v}")
             with open(log_paths[m], "a") as f:
-                f.write(f"{step_num}: {totals[m]}\n")
-        print(f"{step_num}: " + ", ".join(f"{m}={totals[m]:.4f}" for m in METRICS))
+                f.write(f"{step_num}: {text}\n")
+
+        def _fmt(v):
+            return ("[" + " ".join(f"{x:.3f}" for x in v) + "]"
+                    if np.ndim(v) else f"{v:.4f}")
+        print(f"{step_num}: " + ", ".join(f"{m}={_fmt(totals[m])}" for m in METRICS))
 
 
 if __name__ == "__main__":

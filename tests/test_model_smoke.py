@@ -121,6 +121,24 @@ class TestModelWrapper:
         assert 1.0 <= float(metrics["ess"]) <= 3.0 + 1e-5
         assert aux["render"]["resampled_canvas"].shape == (T, B, H, W)
 
+    def test_per_timestep_accuracy(self, model):
+        """num_step_acc_per_t is a [T] vector whose time-mean equals the
+        scalar num_step_accuracy (eval paths only — absent in 'train'
+        record mode so the hot step stays scalar-metrics-only)."""
+        m, params, obs = model
+        gt = jnp.concatenate([jnp.ones((T, B, 1)), jnp.zeros((T, B, S))], -1)
+        rng = jax.random.PRNGKey(9)
+        _, aux = m.loss_and_metrics(params, rng, obs, gt)
+        per_t = np.asarray(aux["metrics"]["num_step_acc_per_t"])
+        assert per_t.shape == (T,)
+        assert np.all((per_t >= 0.0) & (per_t <= 1.0 + 1e-6))
+        np.testing.assert_allclose(
+            per_t.mean(), float(aux["metrics"]["num_step_accuracy"]),
+            rtol=1e-5, atol=1e-6)
+        _, aux_tr = m.loss_and_metrics(params, rng, obs, gt,
+                                       record_mode="train")
+        assert "num_step_acc_per_t" not in aux_tr["metrics"]
+
     def test_train_record_mode_matches_full(self, model):
         """record_mode='train' must give the same target and metrics as
         'full' — it only skips the render stacks."""

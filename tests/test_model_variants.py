@@ -74,3 +74,35 @@ def test_fixed_where_prior():
 
 def test_unmasked_glimpse():
     assert_runs(*build(masked_glimpse=False))
+
+
+def test_early_disc_step_bias_shifts_prior_only():
+    """The early-frame discovery suppression (round-5 plateau lever) must
+    change ONLY the #steps PRIOR log-prob, and only for t < horizon: the
+    posterior sampling path and every posterior log-prob are untouched, so
+    it can be switched on when resuming an existing checkpoint."""
+    seq0, params, obs = build(disc_prior_type="cat")
+    seq_b, _, _ = build(disc_prior_type="cat", early_disc_step_bias=2.5,
+                        early_disc_horizon=1)
+
+    rng = jax.random.PRNGKey(2)
+    out0 = seq0(params, rng, obs)
+    out_b = seq_b(params, rng, obs)
+
+    # identical samples (the lever adds no params and never touches q)
+    for k in ("presence", "where", "what", "presence_logit"):
+        np.testing.assert_allclose(np.asarray(out0[k]), np.asarray(out_b[k]),
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(out0["disc_log_prob"]),
+                               np.asarray(out_b["disc_log_prob"]))
+
+    d = np.asarray(out0["disc_prior_log_prob"]) - np.asarray(
+        out_b["disc_prior_log_prob"])  # [T, B]
+    assert np.any(np.abs(d[0]) > 1e-6), "prior must shift at t < horizon"
+    np.testing.assert_allclose(d[1], 0.0, atol=1e-6,
+                               err_msg="prior must not shift at t >= horizon")
+
+
+def test_early_disc_step_bias_requires_cat():
+    with pytest.raises(ValueError):
+        build(disc_prior_type="geom", early_disc_step_bias=1.0)
