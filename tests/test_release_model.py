@@ -62,7 +62,7 @@ def test_restore_and_eval():
                        jax.random.PRNGKey(0), batch["imgs"])
     step, path = latest_checkpoint(RELEASE)
     params = restore_params(path, state.params)
-    assert step == 60000
+    assert step == 698000
 
     eval_step = make_eval_step(model)
     m = eval_step(params, jax.random.PRNGKey(1), batch["imgs"], batch["nums"])
