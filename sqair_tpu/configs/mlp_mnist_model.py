@@ -26,6 +26,11 @@ flags.DEFINE_float("early_disc_step_bias", 0.0,
                    "transient spurious early-frame discovery (0 = off).")
 flags.DEFINE_integer("early_disc_horizon", 2,
                      "Frames the early discovery suppression applies to.")
+flags.DEFINE_float("early_disc_logit_bias", 0.0,
+                   "Subtracted from the discovery presence LOGIT (posterior "
+                   "side, like disc_step_bias) for frames t < "
+                   "early_disc_horizon; acts on inferred counts immediately "
+                   "(0 = off).")
 flags.DEFINE_boolean("sample_from_prior", False,
                      "Sample from the prior instead of q.")
 flags.DEFINE_boolean("rec_where_prior", True,
@@ -81,6 +86,7 @@ def load(img, coords=None, num=None, mean_img=None, debug=False,
         rec_where_prior=F.rec_where_prior,
         early_disc_step_bias=F.early_disc_step_bias,
         early_disc_horizon=F.early_disc_horizon,
+        early_disc_logit_bias=F.early_disc_logit_bias,
         scale_prior=tuple(parse_string_flag(F.scale_prior, float, num_elements=2)),
         masked_glimpse=F.masked_glimpse,
     )

@@ -66,13 +66,16 @@ class DiscoveryCore(nn.Module):
             presence=presence, rnn_state=rnn_state,
         )
 
-    def __call__(self, rng, state, conditioning) -> Tuple[Dict, Dict]:
+    def __call__(self, rng, state, conditioning,
+                 extra_steps_logit=0.0) -> Tuple[Dict, Dict]:
         """One slot step.
 
         :param state: dict from initial_state / previous step
         :param conditioning: [B, d] summary of propagated latents (+ the
             unused is_allowed flag in the reference, which we drop: it is
             destructured but never read by the reference cell, core.py:192)
+        :param extra_steps_logit: additive presence-logit offset (traced
+            scalar; Discover's early-frame suppression)
         :return: (outputs dict with HIDDEN_OUTPUT_FIELDS, new state)
         """
         img, encoded_img = state["img"], state["encoded_img"]
@@ -94,7 +97,9 @@ class DiscoveryCore(nn.Module):
         what = what_distrib.sample(rngs[1])
 
         # presence with monotone stopping (core.py:141-144)
-        pres_distrib = self.steps_predictor(state["presence"], None, hidden_output, what)
+        pres_distrib = self.steps_predictor(state["presence"], None,
+                                            hidden_output, what,
+                                            extra_logit=extra_steps_logit)
         presence = pres_distrib.sample(rngs[2]) * state["presence"]
 
         outputs = dict(

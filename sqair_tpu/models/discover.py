@@ -39,6 +39,13 @@ class Discover(nn.Module):
     # bias, sqair_modules.py:199-226).
     early_disc_step_bias: float = 0.0
     early_disc_horizon: int = 2
+    # Posterior-side twin of the above: subtracted from the discovery
+    # presence LOGIT (the steps predictor's output) for t < horizon —
+    # the time-dependent form of the reference's own disc_step_bias
+    # (modules.py:470-524 output-bias init).  Acts immediately on the
+    # inferred counts (no retraining needed); the q log-probs stay
+    # self-consistent because they are evaluated on the recorded logits.
+    early_disc_logit_bias: float = 0.0
 
     def setup(self):
         if self.early_disc_step_bias and self.disc_prior_type != "cat":
@@ -117,8 +124,15 @@ class Discover(nn.Module):
         if prior_conditioning is None:
             prior_conditioning = jnp.zeros((batch_size, 0))
 
+        extra_steps_logit = 0.0
+        if self.early_disc_logit_bias:
+            is_early = jnp.asarray(
+                time_step < self.early_disc_horizon, jnp.float32)
+            extra_steps_logit = -self.early_disc_logit_bias * is_early
+
         rng, sub = jax.random.split(rng)
-        hidden_outputs, num_steps = self._discover(sub, img, conditioning_from_prop)
+        hidden_outputs, num_steps = self._discover(sub, img, conditioning_from_prop,
+                                                   extra_steps_logit)
         if compute_log_probs:
             # NB: as in the reference, num_steps and the log-probs below use
             # the posterior presence even when do_generate overrides samples
@@ -150,6 +164,10 @@ class Discover(nn.Module):
         # at the paper config (both are per-op-latency-bound; docs/NOTES.md)
         # and cost ~8min of Mosaic compile time, so the default is off.
         if not os.environ.get("SQAIR_FUSE_CELLS") or not _fused.use_pallas():
+            return None
+        # the fused kernel computes presence internally without the
+        # time-dependent logit offset — fall back to the unfused path
+        if self.early_disc_logit_bias:
             return None
         if self.is_initializing():
             return None
@@ -192,7 +210,7 @@ class Discover(nn.Module):
         except (KeyError, AttributeError, ValueError):
             return None
 
-    def _discover_fused(self, fp, rng, img, conditioning):
+    def _discover_fused(self, fp, rng, img, conditioning, extra_steps_logit=0.0):
         """All S discovery slots as one Pallas kernel (ops/fused_cells.py)."""
         from ..ops import fused_cells
 
@@ -210,12 +228,13 @@ class Discover(nn.Module):
         num_steps = jnp.sum(hidden_outputs["presence"][..., 0], -1)
         return hidden_outputs, num_steps
 
-    def _discover(self, rng, img, conditioning):
+    def _discover(self, rng, img, conditioning, extra_steps_logit=0.0):
         """Unrolls the discovery core over object slots (_discover,
         sqair_modules.py:127-147).  S <= 4, so a python unroll."""
         fp = self._fused_disc_params()
         if fp is not None:
-            return self._discover_fused(fp, rng, img, conditioning)
+            return self._discover_fused(fp, rng, img, conditioning,
+                                        extra_steps_logit)
 
         encoded_img = self.cell.encode_img(img)
         state = self.cell.initial_state(img, encoded_img)
@@ -223,7 +242,8 @@ class Discover(nn.Module):
         per_slot = []
         for t in range(self.n_steps):
             step_rng = jax.random.fold_in(rng, t)
-            outputs, state = self.cell(step_rng, state, conditioning)
+            outputs, state = self.cell(step_rng, state, conditioning,
+                                       extra_steps_logit)
             per_slot.append(outputs)
 
         # stack [B, S, d]

@@ -48,6 +48,7 @@ class SQAIRTimestep(nn.Module):
     rec_where_prior: bool = True
     early_disc_step_bias: float = 0.0
     early_disc_horizon: int = 2
+    early_disc_logit_bias: float = 0.0
     scale_prior: Sequence[float] = (-2.0, -2.0)
     masked_glimpse: bool = True
     encoder_type: str = "mlp"  # "mlp" | "conv"
@@ -97,6 +98,7 @@ class SQAIRTimestep(nn.Module):
             rec_where_prior=self.rec_where_prior,
             early_disc_step_bias=self.early_disc_step_bias,
             early_disc_horizon=self.early_disc_horizon,
+            early_disc_logit_bias=self.early_disc_logit_bias,
         )
 
         self._temporal_cell = make_cell(self.time_transition, self.n_hidden)

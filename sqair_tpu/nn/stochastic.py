@@ -69,13 +69,18 @@ class StepsPredictor(nn.Module):
     max_logit_change: float = math.inf
 
     @nn.compact
-    def __call__(self, previous_presence, previous_logit, *features) -> D.Bernoulli:
+    def __call__(self, previous_presence, previous_logit, *features,
+                 extra_logit=0.0) -> D.Bernoulli:
+        """:param extra_logit: additive logit offset (scalar, may be traced)
+            — used for the time-dependent early-frame discovery suppression
+            (Discover.early_disc_logit_bias); 0 elsewhere.  Applied before
+            the dead-object saturation so dead slots stay dead."""
         feat = jnp.concatenate(
             [f for f in jax.tree_util.tree_leaves(features)], -1
         )
         logit = MLP(
             self.n_hiddens, n_out=1, output_bias_init=const_init(self.steps_bias)
-        )(feat)
+        )(feat) + extra_logit
         logit = previous_presence * logit + (previous_presence - 1.0) * 88.0
 
         if previous_logit is not None:
