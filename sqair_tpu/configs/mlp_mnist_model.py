@@ -31,6 +31,13 @@ flags.DEFINE_float("early_disc_logit_bias", 0.0,
                    "side, like disc_step_bias) for frames t < "
                    "early_disc_horizon; acts on inferred counts immediately "
                    "(0 = off).")
+flags.DEFINE_float("early_disc_logit_scale", 1.0,
+                   "Multiplies the discovery presence logit for frames "
+                   "t < early_disc_horizon — desaturates q's early "
+                   "discovery so VIMCO can retrain it (1 = off).")
+flags.DEFINE_float("early_disc_logit_clamp", 0.0,
+                   "Straight-through |logit| cap on the discovery presence "
+                   "logit for frames t < early_disc_horizon (0 = off).")
 flags.DEFINE_boolean("sample_from_prior", False,
                      "Sample from the prior instead of q.")
 flags.DEFINE_boolean("rec_where_prior", True,
@@ -87,6 +94,8 @@ def load(img, coords=None, num=None, mean_img=None, debug=False,
         early_disc_step_bias=F.early_disc_step_bias,
         early_disc_horizon=F.early_disc_horizon,
         early_disc_logit_bias=F.early_disc_logit_bias,
+        early_disc_logit_scale=F.early_disc_logit_scale,
+        early_disc_logit_clamp=F.early_disc_logit_clamp,
         scale_prior=tuple(parse_string_flag(F.scale_prior, float, num_elements=2)),
         masked_glimpse=F.masked_glimpse,
     )

@@ -143,6 +143,13 @@ def init_checkpoint(checkpoint_dir: str, data_config: str, model_config: str,
         flags.update(restored)
         flags.update(cli_values)
         tf_flags.FLAGS.restore(flags)
+        if any(restored.get(k) != v for k, v in cli_values.items()):
+            # Persist the merged flags so a later eval/rollout on this run
+            # dir sees the overrides — without this, a resumed-with-new-flags
+            # run (e.g. a probe forked from a curriculum checkpoint) leaves a
+            # stale snapshot and eval silently drops the lever.  The original
+            # git_commit is preserved (it records the run's creation).
+            json_store(flag_path, flags)
         found = latest_checkpoint(experiment_folder)
         if found is not None:
             resume_checkpoint = found[1]

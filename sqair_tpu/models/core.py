@@ -67,7 +67,8 @@ class DiscoveryCore(nn.Module):
         )
 
     def __call__(self, rng, state, conditioning,
-                 extra_steps_logit=0.0) -> Tuple[Dict, Dict]:
+                 extra_steps_logit=0.0, steps_logit_scale=1.0,
+                 steps_logit_clamp=None) -> Tuple[Dict, Dict]:
         """One slot step.
 
         :param state: dict from initial_state / previous step
@@ -76,6 +77,8 @@ class DiscoveryCore(nn.Module):
             destructured but never read by the reference cell, core.py:192)
         :param extra_steps_logit: additive presence-logit offset (traced
             scalar; Discover's early-frame suppression)
+        :param steps_logit_scale / steps_logit_clamp: presence-logit
+            desaturation (traced scalars; Discover's early-frame levers)
         :return: (outputs dict with HIDDEN_OUTPUT_FIELDS, new state)
         """
         img, encoded_img = state["img"], state["encoded_img"]
@@ -99,7 +102,9 @@ class DiscoveryCore(nn.Module):
         # presence with monotone stopping (core.py:141-144)
         pres_distrib = self.steps_predictor(state["presence"], None,
                                             hidden_output, what,
-                                            extra_logit=extra_steps_logit)
+                                            extra_logit=extra_steps_logit,
+                                            logit_scale=steps_logit_scale,
+                                            logit_clamp=steps_logit_clamp)
         presence = pres_distrib.sample(rngs[2]) * state["presence"]
 
         outputs = dict(

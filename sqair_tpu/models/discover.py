@@ -46,6 +46,20 @@ class Discover(nn.Module):
     # inferred counts (no retraining needed); the q log-probs stay
     # self-consistent because they are evaluated on the recorded logits.
     early_disc_logit_bias: float = 0.0
+    # Desaturation levers (round 5): the trained posterior holds early-frame
+    # presence logits at 10-45 (tools/diag_presence_logits.py, ckpt-698000),
+    # where Bernoulli samples carry no particle variance — VIMCO gets zero
+    # score gradient and sigmoid' is ~1e-10, so NO cost-side lever (prior
+    # ramp, logit bias) can retrain the t<2 over-discovery.  For
+    # t < early_disc_horizon:
+    #   logit_scale < 1 multiplies q's presence logit (monotone — keeps the
+    #     confidence ordering; 0.15 maps the measured 10-45 population onto
+    #     ~1.5-7, restoring sample diversity exactly on the weakest boxes)
+    #   logit_clamp > 0 caps |logit| straight-through (forward clip,
+    #     backward identity — sampling desaturates but the MLP still sees
+    #     the full VIMCO gradient)
+    early_disc_logit_scale: float = 1.0
+    early_disc_logit_clamp: float = 0.0
 
     def setup(self):
         if self.early_disc_step_bias and self.disc_prior_type != "cat":
@@ -125,14 +139,28 @@ class Discover(nn.Module):
             prior_conditioning = jnp.zeros((batch_size, 0))
 
         extra_steps_logit = 0.0
-        if self.early_disc_logit_bias:
+        steps_logit_scale = 1.0
+        steps_logit_clamp = None
+        if (self.early_disc_logit_bias or self.early_disc_logit_clamp
+                or self.early_disc_logit_scale != 1.0):
             is_early = jnp.asarray(
                 time_step < self.early_disc_horizon, jnp.float32)
-            extra_steps_logit = -self.early_disc_logit_bias * is_early
+            if self.early_disc_logit_bias:
+                extra_steps_logit = -self.early_disc_logit_bias * is_early
+            if self.early_disc_logit_scale != 1.0:
+                # blend to identity (scale 1) outside the early window
+                steps_logit_scale = (
+                    1.0 + is_early * (self.early_disc_logit_scale - 1.0))
+            if self.early_disc_logit_clamp:
+                # a huge cap is the identity — blend the cap, not the op
+                steps_logit_clamp = (
+                    self.early_disc_logit_clamp + (1.0 - is_early) * 1e4)
 
         rng, sub = jax.random.split(rng)
         hidden_outputs, num_steps = self._discover(sub, img, conditioning_from_prop,
-                                                   extra_steps_logit)
+                                                   extra_steps_logit,
+                                                   steps_logit_scale,
+                                                   steps_logit_clamp)
         if compute_log_probs:
             # NB: as in the reference, num_steps and the log-probs below use
             # the posterior presence even when do_generate overrides samples
@@ -166,8 +194,9 @@ class Discover(nn.Module):
         if not os.environ.get("SQAIR_FUSE_CELLS") or not _fused.use_pallas():
             return None
         # the fused kernel computes presence internally without the
-        # time-dependent logit offset — fall back to the unfused path
-        if self.early_disc_logit_bias:
+        # time-dependent logit offset/scale/clamp — fall back to unfused
+        if (self.early_disc_logit_bias or self.early_disc_logit_clamp
+                or self.early_disc_logit_scale != 1.0):
             return None
         if self.is_initializing():
             return None
@@ -228,7 +257,8 @@ class Discover(nn.Module):
         num_steps = jnp.sum(hidden_outputs["presence"][..., 0], -1)
         return hidden_outputs, num_steps
 
-    def _discover(self, rng, img, conditioning, extra_steps_logit=0.0):
+    def _discover(self, rng, img, conditioning, extra_steps_logit=0.0,
+                  steps_logit_scale=1.0, steps_logit_clamp=None):
         """Unrolls the discovery core over object slots (_discover,
         sqair_modules.py:127-147).  S <= 4, so a python unroll."""
         fp = self._fused_disc_params()
@@ -243,7 +273,8 @@ class Discover(nn.Module):
         for t in range(self.n_steps):
             step_rng = jax.random.fold_in(rng, t)
             outputs, state = self.cell(step_rng, state, conditioning,
-                                       extra_steps_logit)
+                                       extra_steps_logit, steps_logit_scale,
+                                       steps_logit_clamp)
             per_slot.append(outputs)
 
         # stack [B, S, d]

@@ -49,6 +49,8 @@ class SQAIRTimestep(nn.Module):
     early_disc_step_bias: float = 0.0
     early_disc_horizon: int = 2
     early_disc_logit_bias: float = 0.0
+    early_disc_logit_scale: float = 1.0
+    early_disc_logit_clamp: float = 0.0
     scale_prior: Sequence[float] = (-2.0, -2.0)
     masked_glimpse: bool = True
     encoder_type: str = "mlp"  # "mlp" | "conv"
@@ -99,6 +101,8 @@ class SQAIRTimestep(nn.Module):
             early_disc_step_bias=self.early_disc_step_bias,
             early_disc_horizon=self.early_disc_horizon,
             early_disc_logit_bias=self.early_disc_logit_bias,
+            early_disc_logit_scale=self.early_disc_logit_scale,
+            early_disc_logit_clamp=self.early_disc_logit_clamp,
         )
 
         self._temporal_cell = make_cell(self.time_transition, self.n_hidden)

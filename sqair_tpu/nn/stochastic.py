@@ -70,17 +70,33 @@ class StepsPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, previous_presence, previous_logit, *features,
-                 extra_logit=0.0) -> D.Bernoulli:
+                 extra_logit=0.0, logit_scale=1.0,
+                 logit_clamp=None) -> D.Bernoulli:
         """:param extra_logit: additive logit offset (scalar, may be traced)
             — used for the time-dependent early-frame discovery suppression
             (Discover.early_disc_logit_bias); 0 elsewhere.  Applied before
-            the dead-object saturation so dead slots stay dead."""
+            the dead-object saturation so dead slots stay dead.
+        :param logit_scale: multiplicative logit factor (scalar, may be
+            traced).  The round-5 desaturation lever: the trained
+            discovery posterior keeps spurious early-frame boxes at
+            logits 10-45 (tools/diag_presence_logits.py), where Bernoulli
+            samples have no variance across particles and VIMCO passes no
+            gradient.  Scaling by e.g. 0.15 maps the population into the
+            stochastic region while preserving the confidence ordering.
+        :param logit_clamp: straight-through |logit| cap (None = off):
+            forward clip to [-c, c], backward identity — desaturates
+            sampling without damping the MLP's gradient."""
         feat = jnp.concatenate(
             [f for f in jax.tree_util.tree_leaves(features)], -1
         )
         logit = MLP(
             self.n_hiddens, n_out=1, output_bias_init=const_init(self.steps_bias)
-        )(feat) + extra_logit
+        )(feat)
+        logit = logit * logit_scale
+        if logit_clamp is not None:
+            clipped = jnp.clip(logit, -logit_clamp, logit_clamp)
+            logit = logit + jax.lax.stop_gradient(clipped - logit)
+        logit = logit + extra_logit
         logit = previous_presence * logit + (previous_presence - 1.0) * 88.0
 
         if previous_logit is not None:

@@ -176,6 +176,11 @@ def test_resume_cli_flags_override_snapshot(tmp_path):
         assert flag_dict2["train_itr"] == 200  # CLI beats snapshot
         # snapshot values without CLI overrides survive
         assert flag_dict2["batch_size"] == flag_dict["batch_size"]
+        # the merged flags are persisted, so a later eval/rollout on this
+        # run dir sees the override instead of the stale snapshot
+        from sqair_tpu.experiment.experiment_tools import FLAG_FILE, json_load
+        on_disk = json_load(os.path.join(logdir2, FLAG_FILE))
+        assert on_disk["train_itr"] == 200
     finally:
         sys.argv = saved_argv
         tf_flags.FLAGS._values.clear()

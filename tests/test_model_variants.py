@@ -106,3 +106,23 @@ def test_early_disc_step_bias_shifts_prior_only():
 def test_early_disc_step_bias_requires_cat():
     with pytest.raises(ValueError):
         build(disc_prior_type="geom", early_disc_step_bias=1.0)
+
+
+@pytest.mark.parametrize("kw", [dict(early_disc_logit_scale=0.15),
+                                dict(early_disc_logit_clamp=3.0)])
+def test_early_disc_desaturation_runs(kw):
+    """Round-5 desaturation levers (trained-in fix for the saturated t<=1
+    discovery posterior): the model must build, run, and pass finite
+    gradients with the presence logit scaled/straight-through-clamped for
+    t < early_disc_horizon."""
+    assert_runs(*build(disc_prior_type="cat", early_disc_horizon=1, **kw))
+
+    # the recorded q log-prob must be evaluated on the desaturated logits
+    # (self-consistency: sample and log-prob share one distribution)
+    seq, params, obs = build(disc_prior_type="cat", early_disc_horizon=1, **kw)
+    out = seq(params, jax.random.PRNGKey(2), obs)
+    logits = np.asarray(out["presence_logit"])  # [T, B, S, 1]
+    if "early_disc_logit_clamp" in kw:
+        # upper side only: dead slots legitimately sit at -88
+        assert np.all(logits[0] <= 3.0 + 1e-5), \
+            "t=0 recorded logits must be the clamped ones"

@@ -119,6 +119,45 @@ class TestStepsPredictor:
         assert logits[1, 0] == pytest.approx(-88.0)
         assert logits[0, 0] != pytest.approx(-88.0)
 
+    def test_logit_scale_multiplies_live_logits(self, rng):
+        """The round-5 desaturation lever: logit_scale multiplies the MLP
+        logit before the dead-object saturation, so live slots scale and
+        dead slots stay at exactly -88."""
+        m = StepsPredictor([8], steps_bias=1.0)
+        feats = jax.random.normal(rng, (3, 8))
+        prev = jnp.asarray([[1.0], [0.0], [1.0]])
+        params = m.init(rng, prev, None, feats)
+        base = np.asarray(m.apply(params, prev, None, feats).logits)
+        scaled = np.asarray(
+            m.apply(params, prev, None, feats, logit_scale=0.15).logits)
+        np.testing.assert_allclose(scaled[0], base[0] * 0.15, rtol=1e-5)
+        np.testing.assert_allclose(scaled[2], base[2] * 0.15, rtol=1e-5)
+        assert scaled[1, 0] == pytest.approx(-88.0)  # dead stays dead
+
+    def test_logit_clamp_straight_through(self, rng):
+        """logit_clamp caps |logit| in the forward pass but passes the
+        un-clipped gradient (straight-through), so the MLP keeps the full
+        VIMCO signal while sampling desaturates."""
+        m = StepsPredictor([8], steps_bias=10.0)  # big bias -> saturated
+        feats = jnp.ones((2, 8))
+        prev = jnp.ones((2, 1))
+        params = m.init(rng, prev, None, feats)
+
+        def logit_sum(p, clamp):
+            d = m.apply(p, prev, None, feats, logit_clamp=clamp)
+            return jnp.sum(d.logits), d.logits
+
+        (_, raw), g_raw = jax.value_and_grad(logit_sum, has_aux=True)(
+            params, None)
+        (_, capped), g_cap = jax.value_and_grad(logit_sum, has_aux=True)(
+            params, 3.0)
+        assert np.all(np.abs(np.asarray(capped)) <= 3.0 + 1e-6)
+        assert np.any(np.abs(np.asarray(raw)) > 3.0)  # clamp actually bound
+        for a, b in zip(jax.tree_util.tree_leaves(g_raw),
+                        jax.tree_util.tree_leaves(g_cap)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5)  # identity backward
+
 
 class TestAffineDiagNormal:
     def test_structure(self, rng):
