@@ -82,11 +82,13 @@ def main(argv=None):
     flag_file = osp.join(run_dir, "flags.json")
     if osp.exists(flag_file):
         restored = json_load(flag_file)
-        # eval-only flags always win; data/model config come from the run
-        # snapshot unless explicitly overridden on the CLI
+        # eval-only flags always win; any flag given explicitly on the CLI
+        # also wins over the run snapshot (same contract as the training
+        # CLI's resume) — this is how eval-time A/Bs of a trained-in lever
+        # work, e.g. --early_disc_logit_clamp 0 on a clamp-trained run
         drop = {"checkpoint_dir", "dataset", "every_nth_checkpoint",
                 "eval_batch_size"}
-        drop |= {n for n in ("data_config", "model_config")
+        drop |= {n for n in restored
                  if n in getattr(flags.FLAGS, "_cli_set", set())}
         for key in drop:
             restored.pop(key, None)
