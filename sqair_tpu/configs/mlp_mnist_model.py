@@ -31,6 +31,12 @@ flags.DEFINE_float("early_disc_logit_bias", 0.0,
                    "side, like disc_step_bias) for frames t < "
                    "early_disc_horizon; acts on inferred counts immediately "
                    "(0 = off).")
+flags.DEFINE_float("transient_disc_penalty", 0.0,
+                   "Weight of the transient-discovery penalty: expected "
+                   "counts at frames t < early_disc_horizon in excess of "
+                   "the stabilised count at t = horizon are charged this "
+                   "many nats each (label-free, outside the ELBO; pair "
+                   "with early_disc_logit_scale < 1).")
 flags.DEFINE_float("early_disc_logit_scale", 1.0,
                    "Multiplies the discovery presence logit for frames "
                    "t < early_disc_horizon — desaturates q's early "
@@ -112,4 +118,6 @@ def load(img, coords=None, num=None, mean_img=None, debug=False,
         sample_from_prior=F.sample_from_prior,
         generate_after=F.generate_after,
     )
-    return Model(seq, k_particles=F.k_particles, aspect_penalty=F.aspect_penalty)
+    return Model(seq, k_particles=F.k_particles, aspect_penalty=F.aspect_penalty,
+                 transient_penalty=F.transient_disc_penalty,
+                 transient_horizon=F.early_disc_horizon)

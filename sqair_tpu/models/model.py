@@ -20,15 +20,39 @@ class Model:
     """IWAE/VIMCO training wrapper around SequentialAIR."""
 
     def __init__(self, sequence: SequentialAIR, k_particles: int = 5,
-                 aspect_penalty: float = 0.0):
+                 aspect_penalty: float = 0.0,
+                 transient_penalty: float = 0.0,
+                 transient_horizon: int = 2):
         """:param aspect_penalty: weight of a squared-log-aspect penalty on
             present glimpses — discourages degenerate narrow boxes (the conv
             family's vertical-sliver over-segmentation, docs/NOTES.md).
             Applied in both record modes; 0 disables.
+        :param transient_penalty: weight of the transient-discovery penalty
+            (round-5 early-frame over-counting fix): per scene,
+            ``sum_{t<H} relu(E_q[n_t] - sg(E_q[n_H]))`` where
+            ``E_q[n_t] = sum_slots sigmoid(presence_logit[t])`` — charges
+            expected early counts in excess of the sequence's own
+            propagation-stabilised count at t=H.  Label-free and, unlike a
+            #steps-prior ramp, NOT absorbable: the learned conditional cat
+            prior can cancel any fixed prior bias at t=0 (its conditioning
+            is a constant there), and the posterior defeated pure logit
+            desaturation by re-inflating raw logits ~6x (docs/NOTES.md
+            round-5) — this penalty is monotone in the posterior's own
+            early presence probabilities, so inflating logits RAISES it.
+            Scenes whose early counts match their stabilised count pay
+            nothing, which separates transient corner-boxes (small recon
+            gain) from genuine early discoveries (whole-digit recon gain).
+            Pair with early_disc_logit_scale<1: saturated logits give the
+            sigmoid path ~zero gradient.  0 disables.
+        :param transient_horizon: H above — frames [0, H) pay the penalty,
+            frame H anchors the stabilised count (default 2, the measured
+            transient window; keep equal to early_disc_horizon).
         """
         self.sequence = sequence
         self.k_particles = k_particles
         self.aspect_penalty = aspect_penalty
+        self.transient_penalty = transient_penalty
+        self.transient_horizon = transient_horizon
 
     @staticmethod
     def finalize_metrics(metrics):
@@ -210,6 +234,23 @@ class Model:
             # finalize_metrics AFTER their reduction to recompute it.
             metrics["aspect_sq_sum"] = sq
             metrics["aspect_n"] = n_pres
+        if "presence_logit" in outputs:
+            pl = outputs["presence_logit"]  # [T, B*k, S] (or trailing 1)
+            if pl.ndim == 4:
+                pl = pl[..., 0]
+            H = self.transient_horizon
+            if pl.shape[0] > H:
+                # expected per-frame counts under q; dead slots sit at
+                # logit -88 -> sigmoid ~ 0
+                n_hat = jnp.sum(jax.nn.sigmoid(pl), -1)  # [T, B*k]
+                anchor = jax.lax.stop_gradient(n_hat[H])
+                excess = jax.nn.relu(n_hat[:H] - anchor[None])
+                # plain per-sample mean: a cross-shard pmean of this IS the
+                # global value (equal shards) — no ratio parts needed
+                transient = jnp.mean(jnp.sum(excess, 0))
+                metrics["transient_excess"] = transient
+                if self.transient_penalty:
+                    target = target + self.transient_penalty * transient
         metrics["target"] = target
 
         # resampled tensors for rendering (model.py:137-148)

@@ -144,6 +144,7 @@ class SequentialAIR:
                 # links in the sequential chain) — see below
                 record = dict(
                     z_what=z_t[0], z_where=z_t[1], z_presence=z_t[2],
+                    z_presence_logit=z_t[3],
                     prop_h=prop["hidden_outputs"],
                     disc_h=disc["hidden_outputs"],
                     prior_stats=prop["prior_stats"],
@@ -176,6 +177,10 @@ class SequentialAIR:
                     # in EVERY record mode, including sample_from_prior
                     where=z_t[1],
                     presence=z_t[2],  # [B*k, S, 1]; _squeeze_last -> [B*k, S]
+                    # posterior presence logits — the transient-discovery
+                    # penalty (models/model.py) differentiates expected
+                    # early-frame counts through these
+                    presence_logit=z_t[3],
                     discrete_log_prob=prop["prop_log_prob"] + disc["num_step_log_prob"],
                     num_prop_steps_per_sample=prop["num_steps"],
                     num_disc_steps_per_sample=disc["num_steps"],
@@ -282,6 +287,7 @@ class SequentialAIR:
             # record modes
             outputs["where"] = zwh
             outputs["presence"] = zp[..., 0]
+            outputs["presence_logit"] = outputs.pop("z_presence_logit")[..., 0]
 
             lp = self.timestep.apply(
                 params["timestep"], jax.random.PRNGKey(0),

@@ -191,6 +191,49 @@ class TestModelWrapper:
         assert all(np.all(np.isfinite(np.asarray(g)))
                    for g in jax.tree_util.tree_leaves(grads))
 
+    @pytest.mark.slow
+    def test_transient_penalty(self, built, model):
+        """Transient-discovery penalty (round-5 early over-counting fix):
+        the metric equals the numpy oracle sum_{t<H} relu(E[n_t] - E[n_H])
+        with E[n_t] = sum_slots sigmoid(presence_logit[t]); the target
+        reduces to target + w*excess; record modes agree; grads finite."""
+        seq, params, obs = built
+        m0, _, _ = model
+        w = 2.5
+        m_pen = Model(seq, k_particles=3, transient_penalty=w)
+
+        rng = jax.random.PRNGKey(13)
+        t0, aux0 = m0.loss_and_metrics(params, rng, obs)
+        excess = float(aux0["metrics"]["transient_excess"])
+
+        # numpy oracle from the same forward record
+        out = m0.forward(params, rng, obs)
+        pl = np.asarray(out["presence_logit"], np.float64)
+        if pl.ndim == 4:
+            pl = pl[..., 0]
+        n_hat = (1.0 / (1.0 + np.exp(-pl))).sum(-1)  # [T, B*k]
+        want = np.mean(np.clip(n_hat[:2] - n_hat[2][None], 0.0, None).sum(0))
+        np.testing.assert_allclose(excess, want, rtol=1e-4, atol=1e-7)
+
+        t1, aux1 = m_pen.loss_and_metrics(params, rng, obs)
+        np.testing.assert_allclose(float(t1), float(t0) + w * excess,
+                                   rtol=1e-5)
+
+        t_train, aux_train = m_pen.loss_and_metrics(params, rng, obs,
+                                                    record_mode="train")
+        np.testing.assert_allclose(float(t1), float(t_train), rtol=1e-6)
+        np.testing.assert_allclose(
+            excess, float(aux_train["metrics"]["transient_excess"]),
+            rtol=1e-5)
+
+        def loss(p):
+            t, _ = m_pen.loss_and_metrics(p, rng, obs, record_mode="train")
+            return t
+
+        grads = jax.grad(loss)(params)
+        assert all(np.all(np.isfinite(np.asarray(g)))
+                   for g in jax.tree_util.tree_leaves(grads))
+
     def test_finalize_metrics_recomputes_ratio_and_drops_parts(self):
         """finalize_metrics: aspect = sum(sq)/sum(n) from the (possibly
         pmean'd) parts; part keys removed; other keys untouched (ADVICE
