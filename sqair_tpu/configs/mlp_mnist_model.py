@@ -37,6 +37,11 @@ flags.DEFINE_float("transient_disc_penalty", 0.0,
                    "the stabilised count at t = horizon are charged this "
                    "many nats each (label-free, outside the ELBO; pair "
                    "with early_disc_logit_scale < 1).")
+flags.DEFINE_float("transient_penalty_temp", 1.0,
+                   "Temperature of the sigmoid inside the transient "
+                   "penalty: sigma(logit/temp) keeps the penalty gradient "
+                   "alive when q re-inflates its logits (1 = exact "
+                   "expected counts).")
 flags.DEFINE_float("early_disc_logit_scale", 1.0,
                    "Multiplies the discovery presence logit for frames "
                    "t < early_disc_horizon — desaturates q's early "
@@ -120,4 +125,5 @@ def load(img, coords=None, num=None, mean_img=None, debug=False,
     )
     return Model(seq, k_particles=F.k_particles, aspect_penalty=F.aspect_penalty,
                  transient_penalty=F.transient_disc_penalty,
-                 transient_horizon=F.early_disc_horizon)
+                 transient_horizon=F.early_disc_horizon,
+                 transient_temp=F.transient_penalty_temp)

@@ -22,7 +22,8 @@ class Model:
     def __init__(self, sequence: SequentialAIR, k_particles: int = 5,
                  aspect_penalty: float = 0.0,
                  transient_penalty: float = 0.0,
-                 transient_horizon: int = 2):
+                 transient_horizon: int = 2,
+                 transient_temp: float = 1.0):
         """:param aspect_penalty: weight of a squared-log-aspect penalty on
             present glimpses — discourages degenerate narrow boxes (the conv
             family's vertical-sliver over-segmentation, docs/NOTES.md).
@@ -47,12 +48,23 @@ class Model:
         :param transient_horizon: H above — frames [0, H) pay the penalty,
             frame H anchors the stabilised count (default 2, the measured
             transient window; keep equal to early_disc_horizon).
+        :param transient_temp: temperature tau of the sigmoid INSIDE the
+            penalty (the logged transient_excess metric always uses tau=1,
+            the true expected count).  At tau=1 the tp10 probe taught
+            propagation to kill transients a frame earlier but could not
+            remove the t=0 discovery itself: q re-inflated its logits to
+            the region where sigma' ~ 0, making the penalty a constant
+            with zero force (docs/NOTES.md round-5).  sigma(L/tau) keeps
+            the gradient alive out to |L| ~ 3*tau, so re-inflation cannot
+            escape the pressure; the penalty value stays a (tempered)
+            excess-count bound.
         """
         self.sequence = sequence
         self.k_particles = k_particles
         self.aspect_penalty = aspect_penalty
         self.transient_penalty = transient_penalty
         self.transient_horizon = transient_horizon
+        self.transient_temp = transient_temp
 
     @staticmethod
     def finalize_metrics(metrics):
@@ -242,15 +254,20 @@ class Model:
             if pl.shape[0] > H:
                 # expected per-frame counts under q; dead slots sit at
                 # logit -88 -> sigmoid ~ 0
-                n_hat = jnp.sum(jax.nn.sigmoid(pl), -1)  # [T, B*k]
-                anchor = jax.lax.stop_gradient(n_hat[H])
-                excess = jax.nn.relu(n_hat[:H] - anchor[None])
-                # plain per-sample mean: a cross-shard pmean of this IS the
-                # global value (equal shards) — no ratio parts needed
-                transient = jnp.mean(jnp.sum(excess, 0))
+                def _excess(tau):
+                    n_hat = jnp.sum(jax.nn.sigmoid(pl / tau), -1)  # [T, B*k]
+                    anchor = jax.lax.stop_gradient(n_hat[H])
+                    ex = jax.nn.relu(n_hat[:H] - anchor[None])
+                    # plain per-sample mean: a cross-shard pmean of this IS
+                    # the global value (equal shards) — no ratio parts needed
+                    return jnp.mean(jnp.sum(ex, 0))
+
+                transient = _excess(1.0)
                 metrics["transient_excess"] = transient
                 if self.transient_penalty:
-                    target = target + self.transient_penalty * transient
+                    pen = (transient if self.transient_temp == 1.0
+                           else _excess(self.transient_temp))
+                    target = target + self.transient_penalty * pen
         metrics["target"] = target
 
         # resampled tensors for rendering (model.py:137-148)

@@ -234,6 +234,21 @@ class TestModelWrapper:
         assert all(np.all(np.isfinite(np.asarray(g)))
                    for g in jax.tree_util.tree_leaves(grads))
 
+        # tempered penalty: target = t0 + w*excess_tau; the logged metric
+        # stays the true (tau=1) expected-count excess
+        tau = 4.0
+        m_temp = Model(seq, k_particles=3, transient_penalty=w,
+                       transient_temp=tau)
+        n_hat_t = (1.0 / (1.0 + np.exp(-pl / tau))).sum(-1)
+        want_t = np.mean(
+            np.clip(n_hat_t[:2] - n_hat_t[2][None], 0.0, None).sum(0))
+        t2, aux2 = m_temp.loss_and_metrics(params, rng, obs)
+        np.testing.assert_allclose(float(t2), float(t0) + w * want_t,
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            float(aux2["metrics"]["transient_excess"]), excess,
+            rtol=1e-5, atol=1e-7)
+
     def test_finalize_metrics_recomputes_ratio_and_drops_parts(self):
         """finalize_metrics: aspect = sum(sq)/sum(n) from the (possibly
         pmean'd) parts; part keys removed; other keys untouched (ADVICE
