@@ -62,7 +62,7 @@ def test_restore_and_eval():
                        jax.random.PRNGKey(0), batch["imgs"])
     step, path = latest_checkpoint(RELEASE)
     params = restore_params(path, state.params)
-    assert step == 698000
+    assert step >= 722000  # round-5 artifact (transient-penalty run)
 
     eval_step = make_eval_step(model)
     m = eval_step(params, jax.random.PRNGKey(1), batch["imgs"], batch["nums"])
@@ -70,5 +70,6 @@ def test_restore_and_eval():
     mse = float(m["mse"])
     assert np.isfinite(float(m["iwae"]))
     # trained release model: high count accuracy, low reconstruction error
-    assert acc > 0.7, f"restored model count accuracy {acc}"
+    # (acc_valid.txt: 0.9355 at 722k; one 32-scene batch has sd ~0.014)
+    assert acc > 0.88, f"restored model count accuracy {acc}"
     assert mse < 0.02, f"restored model mse {mse}"
