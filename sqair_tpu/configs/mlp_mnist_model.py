@@ -49,6 +49,14 @@ flags.DEFINE_float("early_disc_logit_scale", 1.0,
 flags.DEFINE_float("early_disc_logit_clamp", 0.0,
                    "Straight-through |logit| cap on the discovery presence "
                    "logit for frames t < early_disc_horizon (0 = off).")
+flags.DEFINE_boolean("disc_coverage_signal", False,
+                     "Feed the discovery steps predictor an "
+                     "explained-so-far spatial signal: a low-res ST-crop "
+                     "of a coverage canvas built from propagated boxes + "
+                     "earlier same-frame discoveries (architectural fix "
+                     "for the t=0 universal over-discovery; adds 16 "
+                     "first-layer rows — warm-start old checkpoints via "
+                     "tools/pad_coverage_params.py).")
 flags.DEFINE_boolean("sample_from_prior", False,
                      "Sample from the prior instead of q.")
 flags.DEFINE_boolean("rec_where_prior", True,
@@ -107,6 +115,7 @@ def load(img, coords=None, num=None, mean_img=None, debug=False,
         early_disc_logit_bias=F.early_disc_logit_bias,
         early_disc_logit_scale=F.early_disc_logit_scale,
         early_disc_logit_clamp=F.early_disc_logit_clamp,
+        disc_coverage_signal=F.disc_coverage_signal,
         scale_prior=tuple(parse_string_flag(F.scale_prior, float, num_elements=2)),
         masked_glimpse=F.masked_glimpse,
     )

@@ -23,6 +23,7 @@ from ..nn.stochastic import (
     StochasticTransformParam,
 )
 from ..ops import distributions as D
+from ..ops import stn
 
 # canonical per-slot output field order (reference DiscoveryCore._output_names,
 # core.py:152) — also the merge order in the timestep module
@@ -39,6 +40,28 @@ HIDDEN_OUTPUT_FIELDS = (
 )
 
 
+def coverage_paste(coverage, coords, presence, glimpse_size):
+    """Max-composites presence-weighted all-ones box pastes onto a canvas.
+
+    The paste of a glimpse of ones factorises into the rank-1 outer
+    product of the inverse-ST matrices' row sums (ops/stn.py
+    paste_matrices), so claiming a box costs two tiny matvecs — no
+    decoder, no gather.
+
+    :param coverage: [B, H, W]
+    :param coords: [B, 4] or slotted [B, S, 4] forward-crop ST coords
+    :param presence: [B, 1] or [B, S, 1]
+    :return: [B, H, W] updated canvas in [0, 1]
+    """
+    H, W = coverage.shape[-2:]
+    uy, ux = stn.paste_matrices(coords, glimpse_size, (H, W))
+    box = jnp.minimum(uy.sum(-1)[..., :, None] * ux.sum(-1)[..., None, :], 1.0)
+    box = box * presence[..., None]
+    if box.ndim == coverage.ndim + 1:  # slotted: compose over S
+        box = jnp.max(box, -3)
+    return jnp.maximum(coverage, box)
+
+
 class DiscoveryCore(nn.Module):
     """One discovery step for one new object (core.py:147-227)."""
 
@@ -50,21 +73,38 @@ class DiscoveryCore(nn.Module):
     glimpse_encoder: nn.Module  # AIREncoder
     transform_estimator: nn.Module  # StochasticTransformParam
     steps_predictor: nn.Module  # StepsPredictor
+    # Explained-so-far spatial signal for the steps predictor (round-5
+    # architectural lever, docs/NOTES.md "t=0 residual"): the discovery
+    # steps predictor additionally sees a COVERAGE_RES x COVERAGE_RES
+    # ST-crop of a canvas marking regions already claimed by propagated
+    # objects and earlier discovery slots of the same frame.  At t>0
+    # propagation conditioning provides "already explained" temporally;
+    # at t=0 nothing does — this supplies it spatially.  Default off:
+    # the state pytree and the param tree are unchanged unless enabled,
+    # and a flag-off checkpoint warm-starts function-preserving via
+    # tools/pad_coverage_params.py (the new first-layer rows zero-pad).
+    coverage_signal: bool = False
+    COVERAGE_RES = 4
 
     def encode_img(self, img):
         flat = img.reshape((img.shape[0], -1))
         return self.input_encoder(flat)
 
-    def initial_state(self, img, encoded_img):
+    def initial_state(self, img, encoded_img, coverage=None):
         batch_size = img.shape[0]
         what = jnp.zeros((batch_size, self.n_what))
         where = jnp.zeros((batch_size, 4))
         presence = jnp.ones((batch_size, 1))  # discovery starts "present"
         rnn_state = self.transition.initial_state(batch_size)
-        return dict(
+        state = dict(
             img=img, encoded_img=encoded_img, what=what, where=where,
             presence=presence, rnn_state=rnn_state,
         )
+        if self.coverage_signal:
+            if coverage is None:
+                coverage = jnp.zeros(img.shape)  # [B, H, W]
+            state["coverage"] = coverage
+        return state
 
     def __call__(self, rng, state, conditioning,
                  extra_steps_logit=0.0, steps_logit_scale=1.0,
@@ -99,9 +139,20 @@ class DiscoveryCore(nn.Module):
         what_distrib, _ = self.glimpse_encoder(img, where)
         what = what_distrib.sample(rngs[1])
 
+        # explained-so-far crop: the coverage canvas resampled over the
+        # candidate box at COVERAGE_RES (same separable-matmul ST as the
+        # glimpse crop — the low output resolution IS the pooling)
+        cov_feats = ()
+        if self.coverage_signal:
+            coords = stn.to_coords(where)
+            cov = stn.extract_glimpse(
+                state["coverage"], coords,
+                (self.COVERAGE_RES, self.COVERAGE_RES))
+            cov_feats = (cov.reshape(cov.shape[0], -1),)
+
         # presence with monotone stopping (core.py:141-144)
         pres_distrib = self.steps_predictor(state["presence"], None,
-                                            hidden_output, what,
+                                            hidden_output, what, *cov_feats,
                                             extra_logit=extra_steps_logit,
                                             logit_scale=steps_logit_scale,
                                             logit_clamp=steps_logit_clamp)
@@ -122,6 +173,12 @@ class DiscoveryCore(nn.Module):
             img=img, encoded_img=encoded_img, what=what, where=where,
             presence=presence, rnn_state=rnn_state,
         )
+        if self.coverage_signal:
+            # claim the box: the all-ones paste factorises into the rank-1
+            # outer product of the paste matrices' row sums (cf. ops/stn.py
+            # paste_matrices); max-composite, weighted by sampled presence
+            new_state["coverage"] = coverage_paste(
+                state["coverage"], coords, presence, self.glimpse_size)
         return outputs, new_state
 
 

@@ -60,6 +60,12 @@ class Discover(nn.Module):
     #     the full VIMCO gradient)
     early_disc_logit_scale: float = 1.0
     early_disc_logit_clamp: float = 0.0
+    # Explained-so-far coverage signal for the steps predictor (round-5
+    # architectural lever; see DiscoveryCore.coverage_signal).  The canvas
+    # is seeded from the propagated objects' boxes each frame, then
+    # accumulates this frame's discoveries slot by slot.  Must match the
+    # cell's coverage_signal (SQAIRTimestep wires both).
+    coverage_signal: bool = False
 
     def setup(self):
         if self.early_disc_step_bias and self.disc_prior_type != "cat":
@@ -118,7 +124,8 @@ class Discover(nn.Module):
 
     def __call__(self, rng, img, n_present_obj, conditioning_from_prop=None,
                  time_step=0, prior_conditioning=None, sample_from_prior=False,
-                 do_generate=None, compute_log_probs: bool = True) -> Dict:
+                 do_generate=None, compute_log_probs: bool = True,
+                 prop_where=None, prop_presence=None) -> Dict:
         """Runs discovery for one frame (sqair_modules.py:94-125).
 
         :param img: [B, H, W]
@@ -129,6 +136,8 @@ class Discover(nn.Module):
         :param sample_from_prior: static python bool
         :param do_generate: traced bool (or None); only used when
             sample_from_prior is True
+        :param prop_where / prop_presence: [B, S, 4] / [B, S, 1] propagated
+            latents; seed the coverage canvas when coverage_signal is on
         """
         batch_size = img.shape[0]
         max_disc_steps = self.n_steps - n_present_obj
@@ -156,11 +165,23 @@ class Discover(nn.Module):
                 steps_logit_clamp = (
                     self.early_disc_logit_clamp + (1.0 - is_early) * 1e4)
 
+        coverage = None
+        if self.coverage_signal:
+            from ..ops import stn
+            from .core import coverage_paste
+
+            coverage = jnp.zeros(img.shape)
+            if prop_where is not None and prop_presence is not None:
+                coverage = coverage_paste(
+                    coverage, stn.to_coords(prop_where), prop_presence,
+                    self.cell.glimpse_size)
+
         rng, sub = jax.random.split(rng)
         hidden_outputs, num_steps = self._discover(sub, img, conditioning_from_prop,
                                                    extra_steps_logit,
                                                    steps_logit_scale,
-                                                   steps_logit_clamp)
+                                                   steps_logit_clamp,
+                                                   coverage=coverage)
         if compute_log_probs:
             # NB: as in the reference, num_steps and the log-probs below use
             # the posterior presence even when do_generate overrides samples
@@ -197,6 +218,9 @@ class Discover(nn.Module):
         # time-dependent logit offset/scale/clamp — fall back to unfused
         if (self.early_disc_logit_bias or self.early_disc_logit_clamp
                 or self.early_disc_logit_scale != 1.0):
+            return None
+        # the fused kernel's steps predictor has no coverage input
+        if self.coverage_signal:
             return None
         if self.is_initializing():
             return None
@@ -258,7 +282,8 @@ class Discover(nn.Module):
         return hidden_outputs, num_steps
 
     def _discover(self, rng, img, conditioning, extra_steps_logit=0.0,
-                  steps_logit_scale=1.0, steps_logit_clamp=None):
+                  steps_logit_scale=1.0, steps_logit_clamp=None,
+                  coverage=None):
         """Unrolls the discovery core over object slots (_discover,
         sqair_modules.py:127-147).  S <= 4, so a python unroll."""
         fp = self._fused_disc_params()
@@ -267,7 +292,7 @@ class Discover(nn.Module):
                                         extra_steps_logit)
 
         encoded_img = self.cell.encode_img(img)
-        state = self.cell.initial_state(img, encoded_img)
+        state = self.cell.initial_state(img, encoded_img, coverage=coverage)
 
         per_slot = []
         for t in range(self.n_steps):

@@ -51,6 +51,7 @@ class SQAIRTimestep(nn.Module):
     early_disc_logit_bias: float = 0.0
     early_disc_logit_scale: float = 1.0
     early_disc_logit_clamp: float = 0.0
+    disc_coverage_signal: bool = False
     scale_prior: Sequence[float] = (-2.0, -2.0)
     masked_glimpse: bool = True
     encoder_type: str = "mlp"  # "mlp" | "conv"
@@ -91,6 +92,7 @@ class SQAIRTimestep(nn.Module):
             glimpse_encoder=self._glimpse_encoder,
             transform_estimator=StochasticTransformParam(n_hiddens, self.transform_var_bias),
             steps_predictor=StepsPredictor(steps_hidden, self.disc_step_bias),
+            coverage_signal=self.disc_coverage_signal,
         )
         self.discover = Discover(
             self.n_steps, disc_cell,
@@ -103,6 +105,7 @@ class SQAIRTimestep(nn.Module):
             early_disc_logit_bias=self.early_disc_logit_bias,
             early_disc_logit_scale=self.early_disc_logit_scale,
             early_disc_logit_clamp=self.early_disc_logit_clamp,
+            coverage_signal=self.disc_coverage_signal,
         )
 
         self._temporal_cell = make_cell(self.time_transition, self.n_hidden)
@@ -175,10 +178,14 @@ class SQAIRTimestep(nn.Module):
         prop_prior_step_probs = (jax.nn.sigmoid(prop_prior_step_logits) - 0.5) / self.n_steps
         expected_prop_prior_num_step = jnp.sum(prop_prior_step_probs, -1, keepdims=True)
 
+        disc_kwargs = {}
+        if self.disc_coverage_signal:
+            disc_kwargs = dict(prop_where=prop_output["where"],
+                               prop_presence=prop_output["presence"])
         disc_output = self.discover(
             rng_disc, img, prop_output["num_steps"], conditioning_from_prop,
             time_step, expected_prop_prior_num_step, sample_from_prior, do_generate,
-            compute_log_probs,
+            compute_log_probs, **disc_kwargs,
         )
 
         (hidden_outputs, z_t, obj_ids, prop_prior_state, temporal_hidden_state,
