@@ -57,6 +57,13 @@ flags.DEFINE_boolean("disc_coverage_signal", False,
                      "for the t=0 universal over-discovery; adds 16 "
                      "first-layer rows — warm-start old checkpoints via "
                      "tools/pad_coverage_params.py).")
+flags.DEFINE_float("coverage_lr_mult", 1.0,
+                   "Update multiplier for the 16 coverage input-rows of "
+                   "the discovery steps predictor (stateless, checkpoint-"
+                   "compatible per-row lr; requires --disc_coverage_signal; "
+                   "1 = off). Lets zero-initialised coverage weights learn "
+                   "at lr*mult while the rest of the model keeps the safe "
+                   "fine-tune lr.")
 flags.DEFINE_boolean("sample_from_prior", False,
                      "Sample from the prior instead of q.")
 flags.DEFINE_boolean("rec_where_prior", True,

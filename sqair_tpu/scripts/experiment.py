@@ -190,6 +190,14 @@ def main(argv=None):
     # -------------------------------------------------------- optimiser
     lr = make_lr_schedule(F.learning_rate, F.schedule, F.train_itr)
     optimizer = make_optimizer(F.opt, lr)
+    cov_mult = getattr(F, "coverage_lr_mult", 1.0)
+    if cov_mult != 1.0:
+        if not getattr(F, "disc_coverage_signal", False):
+            raise ValueError("--coverage_lr_mult requires --disc_coverage_signal")
+        from ..training.train import scale_coverage_row_updates
+        optimizer = scale_coverage_row_updates(optimizer, cov_mult)
+        print(f"coverage rows lr mult: {cov_mult} (effective lr "
+              f"{F.learning_rate * cov_mult:g} on the 16 coverage rows)")
 
     rng = jax.random.PRNGKey(0)
     max_T = data_dict["max_timesteps"]

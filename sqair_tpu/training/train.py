@@ -30,6 +30,55 @@ def make_lr_schedule(learning_rate: float, schedule: Optional[str],
     return optax.piecewise_constant_schedule(learning_rate, scales)
 
 
+def is_disc_steps_kernel(path) -> bool:
+    """True for the DISCOVERY steps-predictor first-layer kernel path.
+
+    Matches ... discover ... steps_predictor ... w_0 and explicitly NOT the
+    propagation predictor (its path has no 'discover'/'disc' ancestor).
+    Shared by tools/pad_coverage_params.py (warm-start row padding) and
+    scale_coverage_row_updates (per-row lr) so both always target the same
+    leaf.
+    """
+    keys = [getattr(p, "key", None) for p in path]
+    if keys[-1] != "w_0":
+        return False
+    if "steps_predictor" not in keys:
+        return False
+    return any(k == "discover" or (isinstance(k, str) and "disc" in k)
+               for k in keys[:-1] if isinstance(k, str))
+
+
+def scale_coverage_row_updates(optimizer: optax.GradientTransformation,
+                               mult: float,
+                               n_rows: int = 16) -> optax.GradientTransformation:
+    """Per-row learning rate for the coverage input rows, statelessly.
+
+    Wraps ``optimizer`` so the LAST ``n_rows`` input-rows of the discovery
+    steps-predictor first-layer kernel — the rows --disc_coverage_signal
+    appends (models/core.py coverage crop; padded from zero by
+    tools/pad_coverage_params.py) — get their updates multiplied by
+    ``mult``.  Because optax puts scale_by_learning_rate LAST in its
+    chains, scaling the emitted update is exactly equivalent to running
+    those rows at lr*mult, while the optimizer STATE pytree is bit-for-bit
+    the inner optimizer's: checkpoints from unwrapped runs restore
+    directly (the round-5 lr-bistability finding rules out raising the
+    global lr instead — a 10x global resume collapses propagation).
+    """
+
+    def update(grads, state, params=None):
+        updates, state = optimizer.update(grads, state, params)
+
+        def visit(path, u):
+            if is_disc_steps_kernel(path) and getattr(u, "ndim", 0) == 2:
+                return jnp.concatenate(
+                    [u[:-n_rows], u[-n_rows:] * mult], 0)
+            return u
+
+        return jax.tree_util.tree_map_with_path(visit, updates), state
+
+    return optax.GradientTransformation(optimizer.init, update)
+
+
 def make_optimizer(name: str, learning_rate, **kwargs) -> optax.GradientTransformation:
     """Optimizer zoo (experiment.py:138-146).
 

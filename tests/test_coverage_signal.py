@@ -163,3 +163,48 @@ def test_coverage_model_trains():
     assert np.isfinite(float(val))
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_coverage_lr_mult_scales_only_coverage_rows():
+    """scale_coverage_row_updates: (a) opt-state pytree identical to the
+    unwrapped optimizer (checkpoint restore compatibility — the whole
+    point of the stateless design), (b) emitted updates differ from the
+    unwrapped ones ONLY on the last 16 rows of the discovery
+    steps-predictor kernel, exactly by the multiplier."""
+    import optax
+
+    from sqair_tpu.training.train import (is_disc_steps_kernel,
+                                          make_optimizer,
+                                          scale_coverage_row_updates)
+
+    _, params, _ = build(disc_coverage_signal=True)
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.full_like(p, 0.01), params)
+
+    base = make_optimizer("rmsprop", 1e-5)
+    wrapped = scale_coverage_row_updates(base, 50.0)
+
+    s0, s1 = base.init(params), wrapped.init(params)
+    assert (jax.tree_util.tree_structure(s0)
+            == jax.tree_util.tree_structure(s1)), "state must be identical"
+
+    u0, _ = base.update(grads, s0, params)
+    u1, _ = wrapped.update(grads, s1, params)
+
+    flat0 = jax.tree_util.tree_leaves_with_path(u0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(u1))
+    n_hit = 0
+    for path, leaf0 in flat0:
+        leaf1 = flat1[path]
+        if is_disc_steps_kernel(path) and leaf0.ndim == 2:
+            n_hit += 1
+            np.testing.assert_allclose(np.asarray(leaf1[:-16]),
+                                       np.asarray(leaf0[:-16]), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(leaf1[-16:]),
+                                       np.asarray(leaf0[-16:]) * 50.0,
+                                       rtol=1e-6)
+        else:
+            np.testing.assert_array_equal(np.asarray(leaf1),
+                                          np.asarray(leaf0),
+                                          err_msg=jax.tree_util.keystr(path))
+    assert n_hit == 1, "exactly one discovery steps-predictor kernel"

@@ -14,25 +14,14 @@ CLI use:       python tools/pad_coverage_params.py <run_dir> <step> <out_dir>
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
 import jax.numpy as jnp
 
-
-def _is_disc_steps_kernel(path) -> bool:
-    """True for the discovery steps-predictor first-layer kernel.
-
-    Matches ... discover ... steps_predictor ... w_0 and explicitly NOT
-    the propagation predictor (its path has no 'discover' ancestor).
-    """
-    keys = [getattr(p, "key", None) for p in path]
-    if keys[-1] != "w_0":
-        return False
-    if "steps_predictor" not in keys:
-        return False
-    return any(k == "discover" or (isinstance(k, str) and "disc" in k)
-               for k in keys[:-1] if isinstance(k, str))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from sqair_tpu.training.train import is_disc_steps_kernel as _is_disc_steps_kernel  # noqa: E402
 
 
 def _pad_tree(tree, n_extra: int):
@@ -80,8 +69,6 @@ def main(argv):
         print(__doc__)
         return 1
     run_dir, step, out_dir = argv[1], int(argv[2]), argv[3]
-    import os
-
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:
