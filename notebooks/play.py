@@ -97,10 +97,16 @@ def main(argv=None):
         m = eval_step(state.params, jax.random.fold_in(rng, i),
                       b["imgs"], b["nums"])
         for k, v in m.items():
-            acc.setdefault(k, []).append(float(v))
+            # per-timestep metrics (num_step_acc_per_t, …) are vectors
+            acc.setdefault(k, []).append(np.asarray(v))
     print("validation metrics:")
     for k in sorted(acc):
-        print(f"  {k:24s} {np.mean(acc[k]):12.5g}")
+        mean = np.mean(np.stack(acc[k]), axis=0)
+        if mean.ndim:
+            body = " ".join(f"{x:.3f}" for x in mean)
+            print(f"  {k:24s} [{body}]")
+        else:
+            print(f"  {k:24s} {mean:12.5g}")
 
     # ---- figures with per-object-ID colored boxes
     from sqair_tpu.common_model_flags import get_params
